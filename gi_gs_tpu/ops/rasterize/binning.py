@@ -1,0 +1,115 @@
+"""Tile binning: ragged (gaussian, tile) instance expansion + depth sort.
+
+TPU-native replacement for the CUDA binning stage (duplicateWithKeys +
+CUB radix sort + identifyTileRanges, rasterizer_impl.cu:70-138,582-630).
+
+The CUDA path sizes its instance buffer with a device->host sync
+(`num_rendered`, rasterizer_impl.cu:589) which is un-jittable; here the
+instance list has a static capacity and we report overflow instead.
+
+Pipeline (all static shapes, no atomics):
+  1. exclusive-scan `tiles_touched` -> per-Gaussian offsets,
+  2. ragged expansion via searchsorted: instance j belongs to Gaussian
+     g = searchsorted(cum_offsets, j), local slot -> (dy, dx) in its rect,
+  3. stable multi-key sort by (tile_id, depth) with lax.sort,
+  4. tile ranges via searchsorted over the sorted tile ids.
+
+The original (pre-sort) instance order is gaussian-major, so per-Gaussian
+gradient reduction in the backward is a contiguous segment sum after
+unsorting — no scatter-adds anywhere (TPU has no fast atomics).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import RasterConfig
+from .preprocess import Preprocessed
+
+
+class Binning(NamedTuple):
+    ids: jnp.ndarray         # [CAP] int32 gaussian index per sorted instance
+    inst_tile: jnp.ndarray   # [CAP] int32 tile id per sorted instance (T = sentinel)
+    perm: jnp.ndarray        # [CAP] int32 original (gaussian-major) position
+    inv_perm: jnp.ndarray    # [CAP] int32 inverse of perm
+    tile_start: jnp.ndarray  # [T] int32 first sorted-instance row of each tile
+    tile_count: jnp.ndarray  # [T] int32 instances in each tile (capped at cap_tile)
+    offsets: jnp.ndarray     # [N+1] int32 per-gaussian segment bounds (orig order)
+    num_instances: jnp.ndarray  # [] int32 total emitted (pre-cap)
+    overflow: jnp.ndarray    # [] int32 instances dropped by cap_instances
+    max_tile_count: jnp.ndarray  # [] int32 max per-tile population (pre-cap)
+
+
+def bin_and_sort(pre: Preprocessed, height: int, width: int,
+                 cfg: RasterConfig) -> Binning:
+    ty_tiles, tx_tiles = cfg.grid(height, width)
+    num_tiles = ty_tiles * tx_tiles
+    cap = cfg.cap_instances
+    n = pre.valid.shape[0]
+
+    counts = pre.tiles_touched  # [N] int32, 0 for culled
+    cum = jnp.cumsum(counts)  # inclusive
+    offsets = jnp.concatenate([jnp.zeros((1,), cum.dtype), cum])  # [N+1]
+    total = cum[-1]
+
+    # Ragged expansion: instance j in [0, cap) -> owning gaussian.
+    j = jnp.arange(cap, dtype=jnp.int32)
+    g = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+    g_safe = jnp.minimum(g, n - 1)
+    in_range = j < total
+
+    local = j - offsets[g_safe]  # slot within the gaussian's rect
+    rw = (pre.rect_max[g_safe, 0] - pre.rect_min[g_safe, 0])
+    rw_safe = jnp.maximum(rw, 1)
+    dy = local // rw_safe
+    dx = local - dy * rw_safe
+    tx = pre.rect_min[g_safe, 0] + dx
+    tile_y = pre.rect_min[g_safe, 1] + dy
+    tile = tile_y * tx_tiles + tx
+    tile = jnp.where(in_range, tile, num_tiles)  # sentinel bucket sorts last
+
+    depth = jnp.where(in_range, pre.depth[g_safe], jnp.inf)
+
+    # Stable two-key sort (tile asc, depth asc), carrying gaussian id and
+    # the original gaussian-major position.
+    sorted_tile, _, ids, perm = jax.lax.sort(
+        (tile, depth, g_safe, j), num_keys=2, is_stable=True)
+
+    inv_perm = jnp.zeros((cap,), jnp.int32).at[perm].set(
+        jnp.arange(cap, dtype=jnp.int32), unique_indices=True,
+        indices_are_sorted=False)
+
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
+    tile_end = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
+    raw_count = tile_end - tile_start
+    tile_count = jnp.minimum(raw_count, cfg.cap_tile)
+
+    return Binning(
+        ids=ids,
+        inst_tile=sorted_tile,
+        perm=perm,
+        inv_perm=inv_perm,
+        tile_start=tile_start,
+        tile_count=tile_count,
+        offsets=offsets.astype(jnp.int32),
+        num_instances=total.astype(jnp.int32),
+        overflow=jnp.maximum(total - cap, 0).astype(jnp.int32),
+        max_tile_count=raw_count.max().astype(jnp.int32),
+    )
+
+
+def segment_sum_by_gaussian(per_instance: jnp.ndarray, binning: Binning,
+                            num_gaussians: int) -> jnp.ndarray:
+    """Reduce per-*sorted*-instance values [CAP, D] to per-Gaussian [N, D]
+    without scatter: unsort to gaussian-major order (gather via inv_perm),
+    then a contiguous segment reduction via prefix-sum differences.
+    """
+    orig = per_instance[binning.inv_perm]  # [CAP, D] gaussian-major
+    csum = jnp.cumsum(orig, axis=0, dtype=jnp.float32)
+    csum = jnp.concatenate([jnp.zeros((1,) + csum.shape[1:], csum.dtype), csum], axis=0)
+    lo = jnp.minimum(binning.offsets[:-1], per_instance.shape[0])
+    hi = jnp.minimum(binning.offsets[1:], per_instance.shape[0])
+    return csum[hi] - csum[lo]

@@ -1,0 +1,52 @@
+"""Static configuration for the TPU rasterizer.
+
+All sizes here are compile-time constants: the TPU pipeline replaces the
+reference's dynamic buffer sizing (the `num_rendered` device->host sync at
+rasterizer_impl.cu:589) with fixed capacities + overflow counters.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Rasterizer compile-time parameters.
+
+    tile_h x tile_w: pixel tile shape. (8, 128) matches the TPU VPU
+    register shape (8 sublanes x 128 lanes) so one tile is exactly one
+    native f32 vector — the CUDA reference uses 16x16 threads
+    (config.h:15-17); on TPU the tile IS the vector.
+
+    cap_instances: capacity of the (gaussian, tile) instance list — the
+    analog of the CUDA `num_rendered` buffer, statically sized.
+    cap_tile: max instances composited per tile (front-to-back order;
+    instances beyond this are dropped — they are the most occluded ones).
+    chunk: instances processed per compositing step; the weighted
+    accumulation of a chunk is a [F, chunk] @ [chunk, P] matmul on the MXU.
+    """
+    tile_h: int = 8
+    tile_w: int = 128
+    cap_instances: int = 1 << 21
+    cap_tile: int = 4096
+    chunk: int = 32
+
+    # Frustum / numeric constants (cuda_rasterizer semantics)
+    near: float = 0.2            # auxiliary.h:166
+    lowpass: float = 0.3         # forward.cu:119-120
+    alpha_clamp: float = 0.99    # forward.cu:369
+    alpha_min: float = 1.0 / 255.0
+    t_min: float = 1e-4          # forward.cu:374
+
+    def grid(self, height: int, width: int) -> tuple[int, int]:
+        ty = -(-height // self.tile_h)
+        tx = -(-width // self.tile_w)
+        return ty, tx
+
+    @property
+    def pixels_per_tile(self) -> int:
+        return self.tile_h * self.tile_w
+
+    @property
+    def chunks_per_tile(self) -> int:
+        return self.cap_tile // self.chunk

@@ -1,0 +1,110 @@
+"""End-to-end rasterization: preprocess -> bin/sort -> composite -> images.
+
+The jittable equivalent of `CudaRasterizer::Rasterizer::forward`
+(rasterizer_impl.cu:486-640) returning the full G-buffer of the reference
+`renderCUDA` (forward.cu:423-633).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .binning import bin_and_sort, Binning
+from .composite import composite, NUM_CH
+from .config import RasterConfig
+from .preprocess import preprocess, Preprocessed
+
+
+class RasterOutput(NamedTuple):
+    color: jnp.ndarray        # [3, H, W] with background composited
+    opacity: jnp.ndarray      # [1, H, W] accumulated weight
+    depth: jnp.ndarray        # [1, H, W] weight-normalised view z
+    normal: jnp.ndarray       # [3, H, W] accumulated world normal (raw)
+    normal_view: jnp.ndarray  # [3, H, W] normalised view-space normal (no grad)
+    pos_view: jnp.ndarray     # [3, H, W] weight-normalised view position
+    albedo: jnp.ndarray       # [3, H, W]
+    roughness: jnp.ndarray    # [1, H, W] (+final_T when inference)
+    metallic: jnp.ndarray     # [1, H, W]
+    final_t: jnp.ndarray      # [1, H, W] residual transmittance
+    radii: jnp.ndarray        # [N] int32 screen radii (0 = culled)
+    visibility: jnp.ndarray   # [N] bool
+    overflow: jnp.ndarray     # [] int32 dropped instances (diagnostics)
+    max_tile_count: jnp.ndarray  # [] int32 (diagnostics)
+
+
+def _tiles_to_image(tiles: jnp.ndarray, grid, cfg: RasterConfig,
+                    height: int, width: int) -> jnp.ndarray:
+    """[T, CH, P] -> [CH, H, W] (crop the tile padding)."""
+    ty, tx = grid
+    ch = tiles.shape[1]
+    img = tiles.reshape(ty, tx, ch, cfg.tile_h, cfg.tile_w)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(ch, ty * cfg.tile_h, tx * cfg.tile_w)
+    return img[:, :height, :width]
+
+
+def _ref_quotient(num: jnp.ndarray, den: jnp.ndarray) -> jnp.ndarray:
+    """value = num/den (den>1e-6 else 0) but gradient d/d(num) = 1, matching
+    the CUDA backward which routes the depth/pos cotangent straight to the
+    weighted sum (backward.cu:590) and drops the quotient term."""
+    val = jnp.where(den > 1e-6, num / jnp.where(den > 1e-6, den, 1.0), 0.0)
+    return num + jax.lax.stop_gradient(val - num)
+
+
+def rasterize(means3d: jnp.ndarray,
+              cov3d: jnp.ndarray,
+              opacity: jnp.ndarray,       # [N, 1] activated
+              color: jnp.ndarray,         # [N, 3] per-view RGB (SH-evaluated)
+              normal: jnp.ndarray,        # [N, 3] activated (unit)
+              albedo: jnp.ndarray,        # [N, 3] activated
+              roughness: jnp.ndarray,     # [N, 1] activated
+              metallic: jnp.ndarray,      # [N, 1] activated
+              w2c: jnp.ndarray, full_proj: jnp.ndarray,
+              tanfovx, tanfovy, height: int, width: int,
+              bg_color: jnp.ndarray,      # [3]
+              cfg: RasterConfig,
+              ndc_offset: Optional[jnp.ndarray] = None,
+              inference: bool = False) -> RasterOutput:
+    grid = cfg.grid(height, width)
+
+    pre = preprocess(means3d, cov3d, w2c, full_proj, tanfovx, tanfovy,
+                     width, height, cfg, ndc_offset=ndc_offset)
+
+    # Binning consumes integer/ordering decisions only — no gradients flow
+    # through the sort keys (the CUDA binning is equally non-differentiable).
+    b = bin_and_sort(jax.tree.map(jax.lax.stop_gradient, pre), height, width, cfg)
+
+    table = jnp.concatenate([
+        pre.means2d, pre.conic, opacity, color, normal, albedo, roughness,
+        metallic, pre.depth[:, None], pre.pos_view,
+    ], axis=1)  # [N, 21]
+
+    accum, final_t = composite(
+        table, b.ids, b.tile_start, b.tile_count, b.inst_tile, b.inv_perm,
+        b.offsets, cfg, grid, (height, width))
+
+    img = _tiles_to_image(accum, grid, cfg, height, width)   # [CH, H, W]
+    t_img = _tiles_to_image(final_t[:, None, :], grid, cfg, height, width)
+
+    o = img[3:4]
+    out_color = img[0:3] + t_img * bg_color[:, None, None]
+    out_normal = img[4:7]
+    out_albedo = img[7:10]
+    out_rough = img[10:11] + (t_img if inference else 0.0)  # forward.cu:612-616
+    out_metal = img[11:12]
+    out_depth = _ref_quotient(img[12:13], o)
+    out_pos = _ref_quotient(img[13:16], o)
+
+    # View-space normal: normalised inside the CUDA kernel with no backward
+    # path (forward.cu:600-605; absent from backward args) -> stop_gradient.
+    n_view = jnp.einsum("ij,jhw->ihw", w2c[:3, :3], out_normal)
+    n_norm = jnp.linalg.norm(n_view, axis=0, keepdims=True)
+    n_view = jax.lax.stop_gradient(n_view / jnp.maximum(n_norm, 1e-12))
+
+    return RasterOutput(
+        color=out_color, opacity=o, depth=out_depth, normal=out_normal,
+        normal_view=n_view, pos_view=out_pos, albedo=out_albedo,
+        roughness=out_rough, metallic=out_metal, final_t=t_img,
+        radii=pre.radius, visibility=pre.radius > 0,
+        overflow=b.overflow, max_tile_count=b.max_tile_count)
