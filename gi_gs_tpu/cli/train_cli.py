@@ -1,0 +1,171 @@
+"""Training CLI — the equivalent of the reference `train.py` driver
+(train.py:171-527,821-899): two-phase schedule, random camera order,
+periodic evaluation, checkpoints, TensorBoard scalars.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from argparse import ArgumentParser
+from random import randint
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import config as config_mod
+from ..models.gaussians import create_from_points
+from ..scene.dataset import load_scene
+from ..train import trainer as trainer_mod
+from ..train.optim import build_light_optimizer, build_optimizer
+from ..utils import checkpoint as ckpt
+from ..utils import image_utils
+
+
+def evaluate(cfg, state, records, phase2: bool, max_views: int = 8) -> Dict:
+    """Held-out metrics (ref training_report, train.py:553-818)."""
+    from ..renderer import render
+    from ..cli.render_cli import render_pbr_view
+
+    psnrs, ssims = [], []
+    bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.model.white_background
+                     else [0.0, 0.0, 0.0])
+    for rec in records[:max_views]:
+        cam = rec.camera()
+        gt = jnp.clip(jnp.asarray(rec.image) * jnp.asarray(rec.alpha) +
+                      bg[:, None, None] * (1 - jnp.asarray(rec.alpha)), 0, 1)
+        if phase2:
+            img = render_pbr_view(cfg, state, cam, bg)["render_rgb"]
+        else:
+            res = render(cam, state.params, bg, cfg.raster, cfg.gi,
+                         derive_normal=False, compute_occlusion=False)
+            img = jnp.clip(res["render"], 0.0, 1.0)
+        psnrs.append(float(image_utils.psnr(img, gt)))
+        ssims.append(float(image_utils.ssim(img, gt)))
+    return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
+            "n_views": len(psnrs)}
+
+
+def main(argv=None):
+    parser = ArgumentParser(description="gi_gs_tpu training")
+    config_mod.add_args(parser)
+    args = parser.parse_args(argv)
+    cfg = config_mod.from_args(args)
+    assert cfg.model.source_path, "--source_path required"
+    assert cfg.model.model_path, "--model_path required"
+
+    os.makedirs(cfg.model.model_path, exist_ok=True)
+    config_mod.save_cfg(cfg, cfg.model.model_path)
+
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        tb = SummaryWriter(cfg.model.model_path)
+    except Exception:
+        tb = None
+
+    scene = load_scene(
+        cfg.model.source_path, images=cfg.model.images,
+        eval_split=cfg.model.eval, resolution=cfg.model.resolution,
+        white_background=cfg.model.white_background,
+        max_cameras=cfg.model.max_cameras or None)
+
+    params = create_from_points(scene.points, scene.colors,
+                                capacity=cfg.model.capacity,
+                                max_sh_degree=cfg.model.sh_degree)
+    state = trainer_mod.make_train_state(cfg, params, scene.cameras_extent,
+                                         seed=cfg.train.seed)
+    first_iter = 0
+    if cfg.train.start_checkpoint:
+        host_state, extra = ckpt.load_state(cfg.train.start_checkpoint)
+        state = jax.tree.map(jnp.asarray, host_state)
+        first_iter = extra.get("iteration", 0)
+        print(f"Loaded checkpoint {cfg.train.start_checkpoint} @ {first_iter}")
+
+    tx = build_optimizer(cfg.opt, scene.cameras_extent)
+    ltx = build_light_optimizer(cfg.opt)
+
+    step_cache: Dict = {}
+
+    def get_step(phase2: bool):
+        key = ("p2" if phase2 else "p1")
+        if key not in step_cache:
+            if phase2:
+                step_cache[key] = trainer_mod.make_phase2_step(
+                    cfg, scene.cameras_extent, tx, ltx)
+            else:
+                step_cache[key] = trainer_mod.make_phase1_step(
+                    cfg, scene.cameras_extent, tx)
+        return step_cache[key]
+
+    train_recs = scene.train_cameras
+    cams = [r.camera() for r in train_recs]
+    images = [jnp.asarray(r.image) for r in train_recs]
+    alphas = [jnp.asarray(r.alpha) for r in train_recs]
+    bg_const = jnp.asarray([1.0, 1.0, 1.0] if cfg.model.white_background
+                           else [0.0, 0.0, 0.0])
+
+    stack = []
+    t0 = time.time()
+    t_report = t0
+    rng = np.random.RandomState(cfg.train.seed)
+    for iteration in range(first_iter + 1, cfg.opt.iterations + 1):
+        if iteration % 1000 == 0:
+            state = state._replace(params=state.params.one_up_sh_degree())
+        if not stack:
+            stack = list(range(len(train_recs)))
+        vi = stack.pop(rng.randint(0, len(stack)))
+
+        phase2 = iteration > cfg.train.pbr_iteration
+        if cfg.opt.random_background and not phase2:
+            bg = jnp.asarray(rng.rand(3).astype(np.float32))
+        else:
+            bg = bg_const
+        step = get_step(phase2)
+        state, aux = step(state, cams[vi], images[vi], alphas[vi], bg,
+                          jnp.int32(iteration))
+
+        if iteration % 100 == 0 or iteration == first_iter + 1:
+            loss = float(aux.loss)
+            now = time.time()
+            ips = 100.0 / max(now - t_report, 1e-9)
+            t_report = now
+            print(f"[{iteration}] loss {loss:.5f} l1 {float(aux.l1):.5f} "
+                  f"psnr {float(aux.psnr):.2f} "
+                  f"alive {int(state.params.alive.sum())} "
+                  f"{ips:.2f} it/s", flush=True)
+            if tb:
+                tb.add_scalar("train/loss", loss, iteration)
+                tb.add_scalar("train/l1", float(aux.l1), iteration)
+                tb.add_scalar("train/psnr", float(aux.psnr), iteration)
+                tb.add_scalar("train/alive",
+                              int(state.params.alive.sum()), iteration)
+                tb.add_scalar("train/iters_per_s", ips, iteration)
+
+        if iteration in cfg.train.test_iterations and scene.test_cameras:
+            metrics = evaluate(cfg, state, scene.test_cameras, phase2)
+            print(f"[ITER {iteration}] eval: {metrics}", flush=True)
+            if tb:
+                tb.add_scalar("test/psnr", metrics["psnr"], iteration)
+                tb.add_scalar("test/ssim", metrics["ssim"], iteration)
+            with open(os.path.join(cfg.model.model_path,
+                                   f"eval_{iteration}.json"), "w") as f:
+                json.dump(metrics, f)
+
+        if iteration in cfg.train.save_iterations or \
+                iteration in cfg.train.checkpoint_iterations or \
+                iteration == cfg.opt.iterations:
+            path = os.path.join(cfg.model.model_path, f"chkpnt{iteration}.pkl")
+            ckpt.save_state(path, state, {"iteration": iteration})
+            ckpt.save_gaussians_ply(
+                os.path.join(cfg.model.model_path,
+                             f"point_cloud/iteration_{iteration}",
+                             "point_cloud.ply"), state.params)
+            print(f"[ITER {iteration}] saved checkpoint {path}", flush=True)
+
+    print(f"Training complete in {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Learnable cubemap environment light (ref pbr/light.py CubemapLight).
+
+Functional: the parameter is a bare [6, R, R, 3] array owned by the train
+state; `build_mips` produces the prefiltered pyramid each step exactly
+like the reference (mip chain -> diffuse irradiance at the coarsest level
+-> per-level GGX prefilter with linearly spaced roughness).
+"""
+from __future__ import annotations
+
+import math
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import cubemap as cm
+
+LIGHT_MIN_RES = 16
+MIN_ROUGHNESS = 0.08
+MAX_ROUGHNESS = 0.5
+
+
+class CubemapLight(NamedTuple):
+    """Prefiltered light: specular mip stack + diffuse irradiance."""
+    specular: Tuple[jnp.ndarray, ...]   # len L, [6, R_i, R_i, 3]
+    diffuse: jnp.ndarray                # [6, 16, 16, 3]
+
+
+def build_mips(base: jnp.ndarray, cutoff: float = 0.99) -> CubemapLight:
+    spec, diff = cm.build_specular_mips(
+        base, min_res=LIGHT_MIN_RES, min_roughness=MIN_ROUGHNESS,
+        max_roughness=MAX_ROUGHNESS, cutoff=cutoff)
+    return CubemapLight(specular=tuple(spec), diffuse=diff)
+
+
+def get_mip(roughness: jnp.ndarray, num_levels: int) -> jnp.ndarray:
+    """Roughness -> fractional mip level (pbr/light.py:142-152)."""
+    lo = (jnp.clip(roughness, MIN_ROUGHNESS, MAX_ROUGHNESS) - MIN_ROUGHNESS) \
+        / (MAX_ROUGHNESS - MIN_ROUGHNESS) * (num_levels - 2)
+    hi = (jnp.clip(roughness, MAX_ROUGHNESS, 1.0) - MAX_ROUGHNESS) \
+        / (1.0 - MAX_ROUGHNESS) + num_levels - 2
+    return jnp.where(roughness < MAX_ROUGHNESS, lo, hi)
+
+
+def envmap_dirs(res: List[int] = (512, 1024)) -> jnp.ndarray:
+    """Lat-long direction grid (ref get_envmap_dirs, train.py:145-156)."""
+    gy, gx = jnp.meshgrid(
+        jnp.linspace(0.0 + 1.0 / res[0], 1.0 - 1.0 / res[0], res[0]),
+        jnp.linspace(-1.0 + 1.0 / res[1], 1.0 - 1.0 / res[1], res[1]),
+        indexing="ij")
+    sintheta, costheta = jnp.sin(gy * jnp.pi), jnp.cos(gy * jnp.pi)
+    sinphi, cosphi = jnp.sin(gx * jnp.pi), jnp.cos(gx * jnp.pi)
+    return jnp.stack((sintheta * sinphi, costheta, -sintheta * cosphi), axis=-1)
+
+
+def export_envmap(base: jnp.ndarray, res: List[int] = (512, 1024)) -> jnp.ndarray:
+    """Cubemap -> lat-long image [H, W, 3]
+    (ref CubemapLight.export_envmap, pbr/light.py:172-208)."""
+    return cm.sample_cubemap(base, envmap_dirs(res))
+
+
+def latlong_to_cubemap(latlong: jnp.ndarray, res: int) -> jnp.ndarray:
+    """HDRI lat-long [H, W, 3] -> cubemap [6, res, res, 3]
+    (ref render.py latlong_to_cubemap:64-83)."""
+    dirs = jnp.asarray(cm.texel_dirs(res))  # [6, R, R, 3]
+    # Inverse of the envmap_dirs parameterisation.
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    theta = jnp.arccos(jnp.clip(y, -1.0, 1.0))          # gy * pi
+    phi = jnp.arctan2(x, -z)                             # gx * pi
+    H, W = latlong.shape[:2]
+    v = theta / jnp.pi * H - 0.5
+    u = (phi / jnp.pi + 1.0) * 0.5 * W - 0.5
+    u0 = jnp.floor(u)
+    v0 = jnp.clip(jnp.floor(v), 0, H - 1)
+    du, dv = u - u0, jnp.clip(v - v0, 0.0, 1.0)
+    u0w = (u0.astype(jnp.int32)) % W
+    u1 = (u0.astype(jnp.int32) + 1) % W
+    v0i = v0.astype(jnp.int32)
+    v1 = jnp.clip(v0i + 1, 0, H - 1)
+    flat = latlong.reshape(-1, latlong.shape[-1])
+    c00 = flat[v0i * W + u0w]
+    c01 = flat[v0i * W + u1]
+    c10 = flat[v1 * W + u0w]
+    c11 = flat[v1 * W + u1]
+    du, dv = du[..., None], dv[..., None]
+    return (c00 * (1 - du) * (1 - dv) + c01 * du * (1 - dv) +
+            c10 * (1 - du) * dv + c11 * du * dv)
+
+
+def load_hdr(path: str) -> np.ndarray:
+    """Radiance .hdr/.exr -> [H, W, 3] float RGB (ref read_hdr,
+    render.py:32-45 uses cv2)."""
+    import cv2
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(path)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)

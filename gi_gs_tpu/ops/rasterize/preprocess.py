@@ -41,7 +41,10 @@ def compute_cov2d(p_view: jnp.ndarray, cov3d: jnp.ndarray, w2c: jnp.ndarray,
     (xx, xy, yy) with the low-pass diagonal added
     (cuda_rasterizer/forward.cu:83-122).
     """
-    tz = p_view[:, 2]
+    # NaN safety: gaussians with tz <= near are culled, but their garbage
+    # values still flow through the (unselected) backward graph; 0 * inf
+    # would poison gradients, so divisions use a guarded tz.
+    tz = jnp.where(p_view[:, 2] > 0.01, p_view[:, 2], 1.0)
     limx = 1.3 * tanfovx
     limy = 1.3 * tanfovy
     tx = jnp.clip(p_view[:, 0] / tz, -limx, limx) * tz
@@ -87,7 +90,8 @@ def preprocess(means3d: jnp.ndarray, cov3d: jnp.ndarray, w2c: jnp.ndarray,
     hom = jnp.concatenate([means3d, ones], axis=1)
     p_view = hom @ w2c[:3].T  # [N, 3]
     p_hom = hom @ full_proj.T  # [N, 4]
-    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    denom = p_hom[:, 3] + 1e-7
+    p_w = 1.0 / jnp.where(jnp.abs(denom) > 1e-8, denom, 1.0)
     p_proj = p_hom[:, :3] * p_w[:, None]
 
     in_front = p_view[:, 2] > cfg.near
@@ -102,7 +106,10 @@ def preprocess(means3d: jnp.ndarray, cov3d: jnp.ndarray, w2c: jnp.ndarray,
     mid = 0.5 * (cov[:, 0] + cov[:, 2])
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     lambda1 = mid + disc
-    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, mid - disc)))
+    # max eigenvalue can be negative for culled garbage rows; clamp keeps
+    # forward (and thus backward residuals) NaN-free.
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(
+        jnp.maximum(jnp.maximum(lambda1, mid - disc), 1e-8)))
 
     px = ndc2pix(p_proj[:, 0], width)
     py = ndc2pix(p_proj[:, 1], height)

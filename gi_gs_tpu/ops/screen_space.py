@@ -226,7 +226,7 @@ def _direction_batches(normal_view, p: GIParams, batch: int = 16):
         sv = (d[:, 0, None, None, None] * tang[None] +
               d[:, 1, None, None, None] * bitan[None] +
               d[:, 2, None, None, None] * nrm[None])  # [B, 3, H, W]
-        yield jnp.asarray(ws[s:s + batch]), sv
+        yield ws[s:s + batch], sv  # weights stay numpy (static)
 
 
 def ssao(normal_view: jnp.ndarray, pos: jnp.ndarray, fx, fy,
@@ -241,8 +241,8 @@ def ssao(normal_view: jnp.ndarray, pos: jnp.ndarray, fx, fy,
     nr = 0.0
     for w, sv in _direction_batches(nrm, p):
         hit, _ = _march(pos, sv, None, pos[2], fx, fy, p)
-        occ = occ + (hit * w[:, None, None]).sum(0)
-        nr = nr + float(np.sum(np.asarray(w)))
+        occ = occ + (hit * jnp.asarray(w)[:, None, None]).sum(0)
+        nr = nr + float(w.sum())
     if nr > 0:
         out = jnp.clip(1.0 - occ / nr, 0.0, 1.0)
     else:
@@ -286,8 +286,8 @@ def ssr(normal_view: jnp.ndarray, pos: jnp.ndarray, rgb: jnp.ndarray,
     nr = 0.0
     for w, sv in _direction_batches(nrm, p):
         _, val = _march(pos, sv, rgb, pos[2], fx, fy, p)  # [B, 3, H, W]
-        diffuse = diffuse + (val * w[:, None, None, None]).sum(0)
-        nr = nr + len(np.asarray(w))
+        diffuse = diffuse + (val * jnp.asarray(w)[:, None, None, None]).sum(0)
+        nr = nr + len(w)
     if nr > 0:
         gd = math.pi * diffuse / nr * k_d
         color = sg(gd) * albedo

@@ -8,6 +8,7 @@ clamp mask needed by the backward pass.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 SH_C0 = 0.28209479177387814
@@ -76,7 +77,9 @@ def sh_to_rgb(deg: int, sh: jnp.ndarray, means: jnp.ndarray,
     (forward.cu:22-80): dir = normalize(mean - campos), +0.5 offset,
     clamp at 0 (the clamp is differentiable via max)."""
     d = means - campos
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    # NaN-safe at d == 0 (dead capacity slots can sit at the camera).
+    n2 = (d * d).sum(-1, keepdims=True)
+    d = d * jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
     rgb = eval_sh(deg, sh, d) + 0.5
     return jnp.maximum(rgb, 0.0)
 

@@ -1,0 +1,179 @@
+"""Deferred split-sum PBR shading (ref pbr/shade.py pbr_shading) and the
+environment-BRDF lookup table.
+
+The reference ships a baked `brdf_256_256.bin` LUT (pbr/shade.py:96-101);
+we *generate* the same split-sum LUT (Karis 2013) by GGX importance-
+sampled integration at first use and cache it — numerically equivalent,
+no asset copying.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import light as light_mod
+from ..utils.math_utils import aces_film, linear_to_srgb
+from . import cubemap as cm
+
+
+# ---------------------------------------------------------------------------
+# Environment BRDF LUT
+# ---------------------------------------------------------------------------
+
+def _hammersley(n: int) -> np.ndarray:
+    i = np.arange(n, dtype=np.uint32)
+    bits = i.copy()
+    bits = (bits << np.uint32(16)) | (bits >> np.uint32(16))
+    bits = ((bits & np.uint32(0x55555555)) << np.uint32(1)) | \
+           ((bits & np.uint32(0xAAAAAAAA)) >> np.uint32(1))
+    bits = ((bits & np.uint32(0x33333333)) << np.uint32(2)) | \
+           ((bits & np.uint32(0xCCCCCCCC)) >> np.uint32(2))
+    bits = ((bits & np.uint32(0x0F0F0F0F)) << np.uint32(4)) | \
+           ((bits & np.uint32(0xF0F0F0F0)) >> np.uint32(4))
+    bits = ((bits & np.uint32(0x00FF00FF)) << np.uint32(8)) | \
+           ((bits & np.uint32(0xFF00FF00)) >> np.uint32(8))
+    return np.stack([i / n, bits * 2.3283064365386963e-10], axis=-1)
+
+
+@functools.lru_cache(maxsize=2)
+def get_brdf_lut(res: int = 256, samples: int = 1024) -> jax.Array:
+    """[res, res, 2] split-sum env-BRDF: rows = roughness, cols = NoV
+    (matching the layout of the reference's brdf_256_256.bin as consumed
+    at pbr/shade.py:159-166)."""
+    xi = _hammersley(samples)  # [S, 2]
+    nov = (np.arange(res) + 0.5) / res
+    rough = (np.arange(res) + 0.5) / res
+
+    out = np.zeros((res, res, 2), np.float32)
+    for yi, r in enumerate(rough):
+        a = r * r
+        phi = 2.0 * np.pi * xi[:, 0]
+        cos_t = np.sqrt((1.0 - xi[:, 1]) / (1.0 + (a * a - 1.0) * xi[:, 1]))
+        sin_t = np.sqrt(np.maximum(1.0 - cos_t ** 2, 0.0))
+        hx = np.cos(phi) * sin_t
+        hy = np.sin(phi) * sin_t
+        hz = cos_t  # [S]
+        k = (r * r) / 2.0  # IBL k (GeometrySchlickGGX, ssr.h:72-81)
+        v = np.stack([np.sqrt(1.0 - nov ** 2), np.zeros_like(nov), nov], -1)  # [R, 3]
+        vdh = (v[:, None, 0] * hx[None] + v[:, None, 2] * hz[None])  # [R, S]
+        lz = 2.0 * vdh * hz[None] - v[:, None, 2]
+        valid = lz > 0
+        nol = np.clip(lz, 0.0, 1.0)
+        noh = np.clip(hz[None], 0.0, 1.0)
+        voh = np.clip(vdh, 0.0, 1.0)
+        g = (nol / (nol * (1 - k) + k)) * (nov[:, None] / (nov[:, None] * (1 - k) + k))
+        g_vis = np.where(valid & (noh > 0), g * voh / np.maximum(noh * nov[:, None], 1e-8), 0.0)
+        fc = (1.0 - voh) ** 5
+        out[yi, :, 0] = ((1.0 - fc) * g_vis).sum(1) / samples
+        out[yi, :, 1] = (fc * g_vis).sum(1) / samples
+    return jnp.asarray(out)
+
+
+def sample_brdf_lut(lut: jnp.ndarray, nov: jnp.ndarray,
+                    roughness: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear clamp lookup: lut [R, R, 2], nov/roughness [..., 1] in
+    [0,1] -> [..., 2] (dr.texture clamp boundary semantics)."""
+    R = lut.shape[0]
+    u = jnp.clip(nov[..., 0] * R - 0.5, 0.0, R - 1)
+    v = jnp.clip(roughness[..., 0] * R - 0.5, 0.0, R - 1)
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    u1 = jnp.minimum(u0 + 1, R - 1)
+    v1 = jnp.minimum(v0 + 1, R - 1)
+    du = (u - u0)[..., None]
+    dv = (v - v0)[..., None]
+    flat = lut.reshape(-1, 2)
+    f = lambda vv, uu: flat[(vv * R + uu).astype(jnp.int32)]
+    return (f(v0, u0) * (1 - du) * (1 - dv) + f(v0, u1) * du * (1 - dv) +
+            f(v1, u0) * (1 - du) * dv + f(v1, u1) * du * dv)
+
+
+# ---------------------------------------------------------------------------
+# Shading
+# ---------------------------------------------------------------------------
+
+# Axis permutation between the rasterizer frame and the cubemap frame
+# (pbr/shade.py:134-138).
+_TRANSFORM = np.array([[0.0, -1.0, 0.0],
+                       [0.0, 0.0, 1.0],
+                       [-1.0, 0.0, 0.0]], np.float32)
+
+
+def saturate_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip((a * b).sum(-1, keepdims=True), 1e-4, 1.0)
+
+
+def _trilinear_specular(specular, dirs, mip):
+    """Per-pixel fractional-mip cubemap lookup over the prefiltered stack
+    (dr.texture linear-mipmap-linear with mip_level_bias,
+    pbr/shade.py:173-181)."""
+    L = len(specular)
+    mip = jnp.clip(mip[..., 0], 0.0, L - 1)
+    lo = jnp.floor(mip)
+    frac = (mip - lo)[..., None]
+    out = jnp.zeros(dirs.shape[:-1] + (3,), jnp.float32)
+    for lvl in range(L):
+        w_lo = jnp.where(lo == lvl, 1.0 - frac[..., 0], 0.0)
+        w_hi = jnp.where(lo == lvl - 1, frac[..., 0], 0.0)
+        w = (w_lo + w_hi)[..., None]
+        out = out + w * cm.sample_cubemap(specular[lvl], dirs)
+    return out
+
+
+def pbr_shading(light: light_mod.CubemapLight,
+                normals: jnp.ndarray,      # [H, W, 3] world
+                view_dirs: jnp.ndarray,    # [H, W, 3]
+                albedo: jnp.ndarray,       # [H, W, 3]
+                roughness: jnp.ndarray,    # [H, W, 1]
+                mask: jnp.ndarray,         # [H, W, 1] bool
+                brdf_lut: jnp.ndarray,
+                tone: bool = False,
+                gamma: bool = False,
+                occlusion: Optional[jnp.ndarray] = None,  # [H, W, 1]
+                metallic: Optional[jnp.ndarray] = None,
+                background: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
+    """ref pbr_shading (pbr/shade.py:104-237). All images channel-last."""
+    if background is None:
+        background = jnp.zeros_like(normals)
+
+    T = jnp.asarray(_TRANSFORM)
+    ref_dirs = 2.0 * jnp.clip((normals * view_dirs).sum(-1, keepdims=True),
+                              0.0, None) * normals - view_dirs
+
+    diffuse_light = cm.sample_cubemap(light.diffuse, normals @ T.T)
+    if occlusion is not None:
+        diffuse_light = diffuse_light * occlusion
+    diffuse_rgb = diffuse_light * albedo
+
+    nov = saturate_dot(normals @ T.T, view_dirs @ T.T)
+    fg = sample_brdf_lut(brdf_lut, nov, roughness)          # [H, W, 2]
+
+    miplevel = light_mod.get_mip(roughness, len(light.specular))
+    spec = _trilinear_specular(light.specular, ref_dirs @ T.T, miplevel)
+
+    if metallic is None:
+        f0 = jnp.ones_like(albedo) * 0.04
+    else:
+        f0 = (1.0 - metallic) * 0.04 + albedo * metallic
+    reflectance = f0 * fg[..., 0:1] + fg[..., 1:2]
+    specular_rgb = spec * reflectance
+
+    render_rgb = diffuse_rgb + specular_rgb
+    if tone:
+        render_rgb = aces_film(render_rgb)
+    else:
+        render_rgb = jnp.clip(render_rgb, 0.0, 1.0)
+    if gamma:
+        render_rgb = linear_to_srgb(render_rgb)
+        diffuse_rgb = linear_to_srgb(diffuse_rgb)
+        specular_rgb = linear_to_srgb(specular_rgb)
+
+    render_rgb = jnp.where(mask, render_rgb, background)
+
+    return {"render_rgb": render_rgb, "diffuse_rgb": diffuse_rgb,
+            "specular_rgb": specular_rgb, "diffuse_light": diffuse_light}

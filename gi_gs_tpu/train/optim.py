@@ -1,0 +1,126 @@
+"""Optimizer: optax multi-transform replicating the reference's Adam
+groups, per-group learning rates and schedules (ref training_setup /
+update_learning_rate, scene/gaussian_model.py:318-395).
+
+Preserved reference quirks (documented):
+* Adam eps = 1e-15, no eps_root (matches torch.optim.Adam(eps=1e-15)).
+* The BRDF schedule applies with a hard-coded `iteration - 30000` offset
+  and yields lr=0 before it (get_expon_lr_func returns 0 for step<0).
+* `update_learning_rate` early-returns at the *albedo* group, so
+  roughness and metallic keep the constant opacity_lr forever
+  (gaussian_model.py:386-395 loops in group order and returns on the
+  first BRDF-named group).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import OptimizationConfig
+from ..models.gaussians import GaussianParams
+from ..utils.math_utils import expon_lr
+
+# GaussianParams float field -> optimizer group (reference group names).
+# The boolean `alive` mask is not a trainable leaf; the train step
+# differentiates a dict view of these fields only.
+TRAINABLE_FIELDS = ("xyz", "features_dc", "features_rest", "opacity",
+                    "normal", "albedo", "roughness", "metallic", "scaling",
+                    "rotation")
+GROUP_OF_FIELD = {
+    "xyz": "xyz",
+    "features_dc": "f_dc",
+    "features_rest": "f_rest",
+    "opacity": "opacity",
+    "normal": "normal",
+    "albedo": "albedo",
+    "roughness": "roughness",
+    "metallic": "metallic",
+    "scaling": "scaling",
+    "rotation": "rotation",
+}
+
+
+def trainable_view(params: GaussianParams):
+    return {f: getattr(params, f) for f in TRAINABLE_FIELDS}
+
+
+def _adam(lr_or_sched) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15, eps_root=0.0),
+        optax.scale_by_schedule(lr_or_sched)
+        if callable(lr_or_sched) else optax.scale(lr_or_sched),
+        optax.scale(-1.0),
+    )
+
+
+def build_optimizer(opt: OptimizationConfig, spatial_lr_scale: float
+                    ) -> optax.GradientTransformation:
+    xyz_sched = lambda step: expon_lr(
+        step, opt.position_lr_init * spatial_lr_scale,
+        opt.position_lr_final * spatial_lr_scale,
+        lr_delay_mult=opt.position_lr_delay_mult,
+        max_steps=opt.position_lr_max_steps)
+    brdf_sched = lambda step: expon_lr(
+        step - opt.brdf_lr_offset, opt.opacity_lr, opt.BRDF_lr,
+        lr_delay_mult=opt.position_lr_delay_mult, max_steps=10_000)
+
+    transforms: Dict[str, optax.GradientTransformation] = {
+        "xyz": _adam(xyz_sched),
+        "f_dc": _adam(opt.feature_lr),
+        "f_rest": _adam(opt.feature_lr / 20.0),
+        "opacity": _adam(opt.opacity_lr),
+        "normal": _adam(opt.opacity_lr),
+        "albedo": _adam(brdf_sched),
+        "roughness": _adam(opt.opacity_lr),   # quirk: never rescheduled
+        "metallic": _adam(opt.opacity_lr),    # quirk: never rescheduled
+        "scaling": _adam(opt.scaling_lr),
+        "rotation": _adam(opt.rotation_lr),
+    }
+
+    def labels(view):
+        return {f: GROUP_OF_FIELD[f] for f in view}
+
+    return optax.multi_transform(transforms, labels)
+
+
+def build_light_optimizer(opt: OptimizationConfig) -> optax.GradientTransformation:
+    """Cubemap Adam (train.py:215-218): lr = opacity_lr."""
+    return _adam(opt.opacity_lr)
+
+
+def surgery_new_slots(opt_state, slot_mask: jnp.ndarray):
+    """Zero Adam moments at re-allocated capacity slots — the analog of the
+    reference's cat-zeros optimizer surgery (gaussian_model.py:635-662).
+
+    slot_mask: [C] bool, True where a slot was newly (re)allocated.
+    Applies to every per-Gaussian leaf of the optimizer state (leading dim
+    == capacity).
+    """
+    cap = slot_mask.shape[0]
+
+    def zero_new(leaf):
+        if isinstance(leaf, jnp.ndarray) and leaf.ndim >= 1 and leaf.shape[0] == cap \
+                and jnp.issubdtype(leaf.dtype, jnp.floating):
+            mask = slot_mask.reshape((cap,) + (1,) * (leaf.ndim - 1))
+            return jnp.where(mask, 0.0, leaf)
+        return leaf
+
+    return jax.tree.map(zero_new, opt_state)
+
+
+def surgery_reset_group(opt_state, label: str):
+    """Zero Adam moments of one optimizer group — the analog of
+    replace_tensor_to_optimizer (gaussian_model.py:580-594) used by the
+    opacity reset. Keeps the step count (torch keeps state['step'])."""
+    def zero_floats(leaf):
+        if isinstance(leaf, jnp.ndarray) and jnp.issubdtype(leaf.dtype, jnp.floating):
+            return jnp.zeros_like(leaf)
+        return leaf
+
+    inner = dict(opt_state.inner_states)
+    inner[label] = jax.tree.map(zero_floats, inner[label])
+    return opt_state._replace(inner_states=inner) \
+        if hasattr(opt_state, "_replace") else type(opt_state)(inner_states=inner)

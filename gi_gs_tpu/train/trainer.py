@@ -1,0 +1,302 @@
+"""Two-phase training driver (functional core of the reference
+`training()`, train.py:171-527).
+
+Phase 1 (iter <= pbr_iteration): photometric L1+DSSIM + normal
+consistency + normal TV. Phase 2: deferred PBR shading against the
+learnable cubemap + SSR indirect + BRDF/env regularisers.
+
+Everything per-iteration is one jitted function per phase; densification
+and opacity reset run under lax.cond inside the step so the whole
+schedule stays on-device with static shapes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..models.gaussians import GaussianParams
+from ..models.light import CubemapLight, build_mips
+from ..ops import screen_space
+from ..ops.shading import pbr_shading, get_brdf_lut
+from ..ops.cubemap import sample_cubemap
+from ..renderer import render
+from ..scene.cameras import Camera
+from ..utils import image_utils, math_utils
+from . import losses
+from .densify import DensifyStats, densify_and_prune, reset_opacity, update_stats
+from .optim import (build_light_optimizer, build_optimizer,
+                    surgery_new_slots, surgery_reset_group, trainable_view)
+
+
+class TrainState(NamedTuple):
+    params: GaussianParams
+    opt_state: Any
+    stats: DensifyStats
+    cubemap: jnp.ndarray          # [6, R, R, 3] env light base
+    light_opt_state: Any
+    key: jax.Array
+
+
+class StepAux(NamedTuple):
+    loss: jnp.ndarray
+    l1: jnp.ndarray
+    normal_loss: jnp.ndarray
+    psnr: jnp.ndarray
+    densify_dropped: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def make_train_state(cfg: Config, params: GaussianParams,
+                     spatial_lr_scale: float, seed: int = 0) -> TrainState:
+    key = jax.random.PRNGKey(seed)
+    k1, key = jax.random.split(key)
+    tx = build_optimizer(cfg.opt, spatial_lr_scale)
+    ltx = build_light_optimizer(cfg.opt)
+    base = jax.random.uniform(
+        k1, (6, cfg.train.light_base_res, cfg.train.light_base_res, 3),
+        jnp.float32) * 0.5 + 0.25  # CubemapLight init (pbr/light.py:103-107)
+    return TrainState(
+        params=params, opt_state=tx.init(trainable_view(params)),
+        stats=DensifyStats.zeros(params.capacity),
+        cubemap=base, light_opt_state=ltx.init(base),
+        key=key)
+
+
+def _gt_image(image, alpha, bg):
+    return jnp.clip(image * alpha + bg[:, None, None] * (1.0 - alpha), 0.0, 1.0)
+
+
+def _masked_l1(a, b, mask):
+    """F.l1_loss(a[:, mask], b[:, mask]) with boolean [H, W] mask."""
+    m = mask[None].astype(jnp.float32)
+    diff = jnp.abs(a - b) * m
+    return diff.sum() / jnp.maximum(m.sum() * a.shape[0], 1.0)
+
+
+def _apply_schedule_updates(cfg, state, params, grads, ndc_grad, aux_render,
+                            iteration, tx, cameras_extent):
+    """Optimizer step + densification schedule, shared by both phases.
+
+    `grads` is a trainable-view dict (see optim.trainable_view)."""
+    updates, opt_state = tx.update(grads, state.opt_state,
+                                   trainable_view(state.params))
+    new_view = optax.apply_updates(trainable_view(state.params), updates)
+    params = state.params.replace(**new_view)
+
+    stats = update_stats(state.stats, ndc_grad, aux_render["visibility"],
+                         aux_render["radii"])
+
+    key, k_densify = jax.random.split(state.key)
+
+    do_densify = (
+        (iteration < cfg.opt.densify_until_iter) &
+        (iteration > cfg.opt.densify_from_iter) &
+        (iteration % cfg.opt.densification_interval == 0))
+
+    def densify_branch(args):
+        params, stats, opt_state, k = args
+        # size_threshold = 20 after the first opacity reset, else disabled
+        # (train.py:504).
+        size_thr = jnp.where(iteration > cfg.opt.opacity_reset_interval,
+                             20.0, jnp.inf)
+        new_params, new_stats, new_slots, dropped = densify_and_prune(
+            k, params, stats, cfg.opt.densify_grad_threshold, 0.05,
+            cameras_extent, size_thr, cfg.opt.percent_dense)
+        new_opt = surgery_new_slots(opt_state, new_slots)
+        return new_params, new_stats, new_opt, dropped
+
+    def no_densify(args):
+        params, stats, opt_state, _ = args
+        return params, stats, opt_state, jnp.int32(0)
+
+    params, stats, opt_state, dropped = jax.lax.cond(
+        do_densify, densify_branch, no_densify,
+        (params, stats, opt_state, k_densify))
+    dropped = dropped.astype(jnp.int32)
+
+    do_reset = (iteration < cfg.opt.densify_until_iter) & (
+        (iteration % cfg.opt.opacity_reset_interval == 0) |
+        (jnp.asarray(cfg.model.white_background) &
+         (iteration == cfg.opt.densify_from_iter)))
+
+    def reset_branch(args):
+        params, opt_state = args
+        return reset_opacity(params), surgery_reset_group(opt_state, "opacity")
+
+    params, opt_state = jax.lax.cond(
+        do_reset, reset_branch, lambda a: a, (params, opt_state))
+
+    return state._replace(params=params, opt_state=opt_state, stats=stats,
+                          key=key), dropped
+
+
+def make_phase1_step(cfg: Config, cameras_extent: float, tx):
+    """Returns jitted step(state, camera, image, alpha, bg, iteration)."""
+
+    def step(state: TrainState, camera: Camera, image, alpha, bg, iteration):
+        def loss_fn(view, ndc_zeros):
+            params = state.params.replace(**view)
+            res = render(camera, params, bg, cfg.raster, cfg.gi,
+                         derive_normal=True, compute_occlusion=False,
+                         ndc_offset=ndc_zeros)
+            gt = _gt_image(image, alpha, bg)
+            l1 = image_utils.l1_loss(res["render"], gt)
+            loss = (1.0 - cfg.opt.lambda_dssim) * l1 + cfg.opt.lambda_dssim * (
+                1.0 - image_utils.ssim(res["render"], gt))
+            normal_loss = _masked_l1(res["normal_map"],
+                                     res["normal_map_from_depth"],
+                                     res["normal_from_depth_mask"])
+            loss = loss + 1.0 * normal_loss
+            loss = loss + cfg.train.normal_tv_weight * losses.tv_loss(
+                gt, res["normal_map"], pad=1, step=1)
+            aux = {"l1": l1, "normal_loss": normal_loss,
+                   "render": res["render"], "gt": gt,
+                   "visibility": res["visibility_filter"],
+                   "radii": res["radii"], "overflow": res["overflow"]}
+            return loss, aux
+
+        ndc_zeros = jnp.zeros((state.params.capacity, 2), jnp.float32)
+        (loss, aux), (grads, ndc_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(
+                trainable_view(state.params), ndc_zeros)
+
+        new_state, dropped = _apply_schedule_updates(
+            cfg, state, state.params, grads, ndc_grad, aux, iteration, tx,
+            cameras_extent)
+
+        psnr = image_utils.psnr(aux["render"], aux["gt"])
+        return new_state, StepAux(loss, aux["l1"], aux["normal_loss"], psnr,
+                                  dropped, aux["overflow"])
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def compute_view_dirs(camera: Camera) -> jnp.ndarray:
+    """[H, W, 3] outward view directions from canonical rays
+    (train.py:303-307)."""
+    from ..scene.cameras import canonical_rays
+    rays = canonical_rays(camera)                       # [HW, 3]
+    rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+    c2w = jnp.linalg.inv(camera.w2c)
+    vd = -(rays @ c2w[:3, :3].T)
+    return vd.reshape(camera.height, camera.width, 3)
+
+
+def make_phase2_step(cfg: Config, cameras_extent: float, tx, ltx):
+    """Deferred-PBR phase step (train.py:330-421). Background is forced to
+    black like the reference (train.py:264-265)."""
+    brdf_lut = get_brdf_lut()
+    t = cfg.train
+
+    def step(state: TrainState, camera: Camera, image, alpha, bg, iteration):
+        bg = jnp.zeros_like(bg)  # NOTE: black background for PBR
+        view_dirs = compute_view_dirs(camera)
+
+        def loss_fn(view, cubemap_base, ndc_zeros):
+            params = state.params.replace(**view)
+            res = render(camera, params, bg, cfg.raster, cfg.gi,
+                         derive_normal=True, compute_occlusion=t.indirect,
+                         ndc_offset=ndc_zeros)
+            gt = _gt_image(image, alpha, bg)
+
+            rmax, rmin = 1.0, 0.04
+            roughness_map = res["roughness_map"] * (rmax - rmin) + rmin
+            metallic_map = res["metallic_map"]
+            albedo_map = res["albedo_map"]
+            normal_mask = res["normal_mask"]            # [1, H, W]
+
+            if t.indirect:
+                occlusion = res["occlusion_map"].transpose(1, 2, 0)
+            else:
+                occlusion = jnp.ones_like(roughness_map).transpose(1, 2, 0)
+
+            light = build_mips(cubemap_base)
+            pbr = pbr_shading(
+                light=light,
+                normals=jax.lax.stop_gradient(
+                    res["normal_map"].transpose(1, 2, 0)),
+                view_dirs=view_dirs,
+                albedo=albedo_map.transpose(1, 2, 0),
+                roughness=roughness_map.transpose(1, 2, 0),
+                mask=normal_mask.transpose(1, 2, 0),
+                brdf_lut=brdf_lut,
+                tone=t.tone, gamma=t.gamma,
+                occlusion=jax.lax.stop_gradient(occlusion),
+                metallic=metallic_map.transpose(1, 2, 0) if t.metallic else None)
+
+            render_direct = pbr["render_rgb"].transpose(2, 0, 1)  # [3, H, W]
+            render_direct = jnp.where(normal_mask, render_direct,
+                                      bg[:, None, None])
+
+            if t.metallic:
+                f0 = (1.0 - metallic_map) * 0.04 + albedo_map * metallic_map
+            else:
+                f0 = jnp.ones_like(albedo_map) * 0.04
+                metallic_map = jnp.zeros_like(roughness_map)
+
+            sg = jax.lax.stop_gradient
+            linear_rgb = math_utils.srgb_to_linear(render_direct)
+            irr, _ = screen_space.ssr(
+                sg(res["out_normal_view"]), sg(res["depth_pos"]),
+                sg(linear_rgb), albedo_map, roughness_map, metallic_map,
+                f0, camera.fx, camera.fy, cfg.gi)
+            irr = math_utils.linear_to_srgb(irr)
+            irr = image_utils.median_blur_3x3(irr)
+            render_rgb = render_direct + irr
+
+            pbr_l1 = image_utils.l1_loss(render_rgb, gt)
+            loss = pbr_l1
+
+            brdf_maps = jnp.concatenate(
+                [albedo_map, roughness_map, metallic_map], axis=0)
+            has_bg = (normal_mask == 0).sum() > 0
+            brdf_tv = jnp.where(
+                has_bg,
+                losses.masked_tv_loss(normal_mask, gt, brdf_maps),
+                losses.tv_loss(gt, brdf_maps, pad=1, step=1))
+            loss = loss + brdf_tv * t.brdf_tv_weight
+
+            m = normal_mask.astype(jnp.float32)
+            msum = jnp.maximum(m.sum(), 1.0)
+            lamb = ((1.0 - roughness_map) * m).sum() / msum + \
+                (metallic_map * m).sum() / msum
+            loss = loss + 0.001 * lamb
+
+            from ..models.light import envmap_dirs
+            envmap = sample_cubemap(cubemap_base, envmap_dirs())
+            env_tv = ((envmap[1:] - envmap[:-1]) ** 2).mean() + \
+                ((envmap[:, 1:] - envmap[:, :-1]) ** 2).mean()
+            loss = loss + env_tv * t.env_tv_weight
+
+            aux = {"l1": pbr_l1, "normal_loss": jnp.float32(0.0),
+                   "render": render_rgb, "gt": gt,
+                   "visibility": res["visibility_filter"],
+                   "radii": res["radii"], "overflow": res["overflow"]}
+            return loss, aux
+
+        ndc_zeros = jnp.zeros((state.params.capacity, 2), jnp.float32)
+        (loss, aux), (grads, light_grads, ndc_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                trainable_view(state.params), state.cubemap, ndc_zeros)
+
+        new_state, dropped = _apply_schedule_updates(
+            cfg, state, state.params, grads, ndc_grad, aux, iteration, tx,
+            cameras_extent)
+
+        lupd, light_opt_state = ltx.update(light_grads, state.light_opt_state,
+                                           state.cubemap)
+        cubemap = jnp.maximum(optax.apply_updates(state.cubemap, lupd), 0.0)
+        new_state = new_state._replace(cubemap=cubemap,
+                                       light_opt_state=light_opt_state)
+
+        psnr = image_utils.psnr(
+            jnp.clip(aux["render"], 0.0, 1.0), aux["gt"])
+        return new_state, StepAux(loss, aux["l1"], jnp.float32(0.0), psnr,
+                                  dropped, aux["overflow"])
+
+    return jax.jit(step, donate_argnums=(0,))

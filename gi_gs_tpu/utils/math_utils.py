@@ -40,9 +40,14 @@ def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
 
 def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
     """L2-normalise along `axis` (torch.nn.functional.normalize semantics:
-    denominator clamped to eps)."""
-    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
-    return v / jnp.maximum(n, eps)
+    denominator clamped to eps).
+
+    Implemented as v * rsqrt(max(|v|^2, eps^2)) so the gradient at v == 0
+    is exactly 0 instead of NaN (capacity-padded dead Gaussians hold zero
+    vectors; a single NaN gradient row would poison the sort keys of the
+    next step)."""
+    n2 = (v * v).sum(axis=axis, keepdims=True)
+    return v * jax.lax.rsqrt(jnp.maximum(n2, eps * eps))
 
 
 def build_covariance_3d(scaling: jnp.ndarray, rotation_raw: jnp.ndarray,
