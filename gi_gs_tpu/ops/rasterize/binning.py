@@ -72,10 +72,12 @@ def bin_and_sort(pre: Preprocessed, height: int, width: int,
 
     depth = jnp.where(in_range, pre.depth[g_safe], jnp.inf)
 
-    # Stable two-key sort (tile asc, depth asc), carrying gaussian id and
-    # the original gaussian-major position.
-    sorted_tile, _, ids, perm = jax.lax.sort(
-        (tile, depth, g_safe, j), num_keys=2, is_stable=True)
+    # Stable two-key sort (tile asc, depth asc) carrying only the original
+    # gaussian-major position; gaussian ids are re-derived by one gather
+    # (fewer operands = less data movement through the TPU sort).
+    sorted_tile, _, perm = jax.lax.sort(
+        (tile, depth, j), num_keys=2, is_stable=True)
+    ids = g_safe[perm]
 
     inv_perm = jnp.zeros((cap,), jnp.int32).at[perm].set(
         jnp.arange(cap, dtype=jnp.int32), unique_indices=True,

@@ -50,25 +50,37 @@ def compute_cov2d(p_view: jnp.ndarray, cov3d: jnp.ndarray, w2c: jnp.ndarray,
     tx = jnp.clip(p_view[:, 0] / tz, -limx, limx) * tz
     ty = jnp.clip(p_view[:, 1] / tz, -limy, limy) * tz
 
-    # J: 2x3 Jacobian of the perspective projection at (tx, ty, tz).
-    zero = jnp.zeros_like(tz)
-    J = jnp.stack([
-        jnp.stack([fx / tz, zero, -(fx * tx) / (tz * tz)], axis=-1),
-        jnp.stack([zero, fy / tz, -(fy * ty) / (tz * tz)], axis=-1),
-    ], axis=-2)  # [N, 2, 3]
+    # cov2d = (J W) Vrk (J W)^T with the 2x3 Jacobian J of the perspective
+    # projection. Written as fused per-row scalar math (a batch of 3x3
+    # matmuls over N rows lowers terribly on TPU — tiny-matrix einsums get
+    # scalarised; these ~40 elementwise ops fuse into a few VPU passes).
+    j00 = fx / tz
+    j02 = -(fx * tx) / (tz * tz)
+    j11 = fy / tz
+    j12 = -(fy * ty) / (tz * tz)
 
-    W = w2c[:3, :3]  # [3, 3] view rotation
-    Vrk = jnp.stack([
-        jnp.stack([cov3d[:, 0], cov3d[:, 1], cov3d[:, 2]], axis=-1),
-        jnp.stack([cov3d[:, 1], cov3d[:, 3], cov3d[:, 4]], axis=-1),
-        jnp.stack([cov3d[:, 2], cov3d[:, 4], cov3d[:, 5]], axis=-1),
-    ], axis=-2)  # [N, 3, 3]
+    W = w2c[:3, :3]
+    # Row vectors of T = J @ W (only two rows are nonzero).
+    t0x = j00 * W[0, 0] + j02 * W[2, 0]
+    t0y = j00 * W[0, 1] + j02 * W[2, 1]
+    t0z = j00 * W[0, 2] + j02 * W[2, 2]
+    t1x = j11 * W[1, 0] + j12 * W[2, 0]
+    t1y = j11 * W[1, 1] + j12 * W[2, 1]
+    t1z = j11 * W[1, 2] + j12 * W[2, 2]
 
-    JW = jnp.einsum("nij,jk->nik", J, W)  # [N, 2, 3]
-    cov = jnp.einsum("nij,njk,nlk->nil", JW, Vrk, JW)  # [N, 2, 2]
-    cxx = cov[:, 0, 0] + lowpass
-    cyy = cov[:, 1, 1] + lowpass
-    cxy = cov[:, 0, 1]
+    c0, c1, c2, c3, c4, c5 = (cov3d[:, 0], cov3d[:, 1], cov3d[:, 2],
+                              cov3d[:, 3], cov3d[:, 4], cov3d[:, 5])
+    # u = Vrk @ t_row for each of the two rows (Vrk symmetric).
+    u0x = c0 * t0x + c1 * t0y + c2 * t0z
+    u0y = c1 * t0x + c3 * t0y + c4 * t0z
+    u0z = c2 * t0x + c4 * t0y + c5 * t0z
+    u1x = c0 * t1x + c1 * t1y + c2 * t1z
+    u1y = c1 * t1x + c3 * t1y + c4 * t1z
+    u1z = c2 * t1x + c4 * t1y + c5 * t1z
+
+    cxx = t0x * u0x + t0y * u0y + t0z * u0z + lowpass
+    cxy = t0x * u1x + t0y * u1y + t0z * u1z
+    cyy = t1x * u1x + t1y * u1y + t1z * u1z + lowpass
     return jnp.stack([cxx, cxy, cyy], axis=-1)
 
 
@@ -86,13 +98,19 @@ def preprocess(means3d: jnp.ndarray, cov3d: jnp.ndarray, w2c: jnp.ndarray,
     fy = height / (2.0 * tanfovy)
     ty_tiles, tx_tiles = cfg.grid(height, width)
 
-    ones = jnp.ones((means3d.shape[0], 1), means3d.dtype)
-    hom = jnp.concatenate([means3d, ones], axis=1)
-    p_view = hom @ w2c[:3].T  # [N, 3]
-    p_hom = hom @ full_proj.T  # [N, 4]
-    denom = p_hom[:, 3] + 1e-7
+    # Point transforms as broadcast scalar math: [N,4]x[4,4] matmuls get
+    # padded to 128-wide K on the MXU by XLA (~100x memory blowup).
+    x, y, z = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+
+    def xform(M, row):
+        return M[row, 0] * x + M[row, 1] * y + M[row, 2] * z + M[row, 3]
+
+    p_view = jnp.stack([xform(w2c, 0), xform(w2c, 1), xform(w2c, 2)], axis=-1)
+    hx, hy, hz, hw = (xform(full_proj, 0), xform(full_proj, 1),
+                      xform(full_proj, 2), xform(full_proj, 3))
+    denom = hw + 1e-7
     p_w = 1.0 / jnp.where(jnp.abs(denom) > 1e-8, denom, 1.0)
-    p_proj = p_hom[:, :3] * p_w[:, None]
+    p_proj = jnp.stack([hx, hy, hz], axis=-1) * p_w[:, None]
 
     in_front = p_view[:, 2] > cfg.near
 

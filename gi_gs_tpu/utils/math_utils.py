@@ -61,13 +61,33 @@ def build_covariance_3d(scaling: jnp.ndarray, rotation_raw: jnp.ndarray,
     the *unnormalised* quaternion (normalisation is part of the rotation
     activation upstream).
     """
-    R = quat_to_rotmat(rotation_raw)  # [..., 3, 3]
-    S = scaling * scale_modifier  # [..., 3]
-    M = R * S[..., None, :]  # columns scaled: M = R @ diag(s)
-    sigma = jnp.einsum("...ij,...kj->...ik", M, M)  # M M^T
-    return jnp.stack(
-        [sigma[..., 0, 0], sigma[..., 0, 1], sigma[..., 0, 2],
-         sigma[..., 1, 1], sigma[..., 1, 2], sigma[..., 2, 2]], axis=-1)
+    # Scalar-form M = R @ diag(s), Sigma = M M^T (batched tiny-matrix
+    # einsums scalarise badly on TPU; this fuses into a few VPU passes).
+    w, x, y, z = (rotation_raw[..., 0], rotation_raw[..., 1],
+                  rotation_raw[..., 2], rotation_raw[..., 3])
+    sx = scaling[..., 0] * scale_modifier
+    sy = scaling[..., 1] * scale_modifier
+    sz = scaling[..., 2] * scale_modifier
+    r00 = 1.0 - 2.0 * (y * y + z * z)
+    r01 = 2.0 * (x * y - w * z)
+    r02 = 2.0 * (x * z + w * y)
+    r10 = 2.0 * (x * y + w * z)
+    r11 = 1.0 - 2.0 * (x * x + z * z)
+    r12 = 2.0 * (y * z - w * x)
+    r20 = 2.0 * (x * z - w * y)
+    r21 = 2.0 * (y * z + w * x)
+    r22 = 1.0 - 2.0 * (x * x + y * y)
+    m00, m01, m02 = r00 * sx, r01 * sy, r02 * sz
+    m10, m11, m12 = r10 * sx, r11 * sy, r12 * sz
+    m20, m21, m22 = r20 * sx, r21 * sy, r22 * sz
+    return jnp.stack([
+        m00 * m00 + m01 * m01 + m02 * m02,
+        m00 * m10 + m01 * m11 + m02 * m12,
+        m00 * m20 + m01 * m21 + m02 * m22,
+        m10 * m10 + m11 * m11 + m12 * m12,
+        m10 * m20 + m11 * m21 + m12 * m22,
+        m20 * m20 + m21 * m21 + m22 * m22,
+    ], axis=-1)
 
 
 # ---------------------------------------------------------------------------
