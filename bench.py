@@ -58,15 +58,16 @@ def main():
     tx = build_optimizer(cfg.opt, 1.0)
     step = trainer.make_phase1_step(cfg, cameras_extent=3.0, tx=tx)
 
-    # Warmup/compile
+    # Warmup/compile. NOTE: block_until_ready does not reliably fence on
+    # the experimental axon platform; a host transfer (float()) does.
     state, aux = step(state, cam, image, alpha, bg, jnp.int32(1))
-    jax.block_until_ready(state.params.xyz)
+    _ = float(aux.loss)
 
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
         state, aux = step(state, cam, image, alpha, bg, jnp.int32(2 + i))
-    jax.block_until_ready(state.params.xyz)
+        _ = float(aux.loss)
     dt = (time.perf_counter() - t0) / iters
 
     iters_per_s = 1.0 / dt

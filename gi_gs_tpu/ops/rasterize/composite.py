@@ -291,10 +291,17 @@ def _reduce_to_gaussians(grads, inst_tile, tile_start, tile_count, inv_perm,
     lin = jnp.clip(lin, 0, grads.shape[0] * T * K - 1)
     g_sorted = grads.reshape(-1, TABLE_DIM)[lin]
     g_sorted = jnp.where(in_tile[:, None], g_sorted, 0.0)
+    return reduce_sorted_instance_grads(g_sorted, inv_perm, offsets)
 
+
+def reduce_sorted_instance_grads(g_sorted, inv_perm, offsets):
+    """[CAP, D] sorted-instance grads -> per-Gaussian [N, D]: unsort to the
+    gaussian-major pre-sort order (one gather) then contiguous segment
+    sums via prefix-sum differences. Shared by the jnp and Pallas paths."""
+    cap, D = g_sorted.shape
     g_orig = g_sorted[inv_perm]                                # gaussian-major
     csum = jnp.cumsum(g_orig, axis=0, dtype=jnp.float32)
-    csum = jnp.concatenate([jnp.zeros((1, TABLE_DIM), csum.dtype), csum], axis=0)
+    csum = jnp.concatenate([jnp.zeros((1, D), csum.dtype), csum], axis=0)
     lo = jnp.clip(offsets[:-1], 0, cap)
     hi = jnp.clip(offsets[1:], 0, cap)
     return csum[hi] - csum[lo]

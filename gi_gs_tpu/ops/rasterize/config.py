@@ -30,6 +30,9 @@ class RasterConfig:
     cap_instances: int = 1 << 21
     cap_tile: int = 4096
     chunk: int = 32
+    # Pallas kernel path for the compositing fwd/bwd (interpret mode is
+    # selected automatically on CPU). The jnp path remains the oracle.
+    use_pallas: bool = True
 
     # Frustum / numeric constants (cuda_rasterizer semantics)
     near: float = 0.2            # auxiliary.h:166

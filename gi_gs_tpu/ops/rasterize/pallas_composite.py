@@ -1,0 +1,398 @@
+"""Pallas TPU kernels for tile compositing (forward + backward).
+
+The production fast path replacing the jnp `composite` reference
+implementation (same semantics, see composite.py): the grid runs one
+program per pixel tile, each with its *own* per-tile trip count — unlike
+the jnp while_loop, no lock-step waste on the max-populated tile — and
+instance attributes stream from HBM as contiguous chunks (the instance
+table is pre-gathered into sorted order, so chunk loads are pure DMA,
+no gathers inside the kernel).
+
+Per chunk of K instances the kernel computes alpha for all P pixels of
+the tile (VPU, [K, P] vectors), resolves the transmittance recurrence
+with a Hillis-Steele cumulative product over the K sublanes (log2 K
+shifted multiplies via pltpu.roll), and accumulates all CH G-buffer
+channels with one [CH, K] x [K, P] MXU matmul.
+
+Instance-table row layout (columns, padded to 32 for tile alignment):
+  0:2 means2d | 2:5 conic | 5 opacity | 6:9 color | 9:21 aux features
+  (matches composite.py TABLE_DIM = 21; 21:32 zero padding)
+
+Mosaic requires the last two block dims to be (8k, 128k)-aligned, so the
+per-tile outputs are packed into one [T, CH_PAD=24, P] tensor:
+rows 0:16 = accumulated channels, row 16 = final transmittance.
+
+The backward kernel replays forward (suffix = total - prefix) and writes
+per-instance gradient rows [cap, 32] back to HBM at the tile's contiguous
+range — each tile owns its rows, so there are no write conflicts and no
+atomics anywhere.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .config import RasterConfig
+from .composite import NUM_CH, TABLE_DIM, _COUPLED, NORMAL_CH
+
+ROW = 128      # padded instance-row width (Mosaic DMA wants 128-lane alignment)
+CH_PAD = 24    # packed output rows: 0:16 accum, 16 final_T, 17:23 pad
+FINAL_T_ROW = NUM_CH
+
+
+def _cumprod_sublanes(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Inclusive cumulative product along axis 0 (K sublanes) via
+    Hillis-Steele doubling with pltpu.roll; K must be a power of two."""
+    assert (k & (k - 1)) == 0, "chunk must be a power of two"
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    d = 1
+    while d < k:
+        shifted = pltpu.roll(x, d, 0)
+        x = x * jnp.where(row >= d, shifted, 1.0)
+        d *= 2
+    return x
+
+
+def _cumsum_sublanes(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Inclusive cumulative sum along axis 0 via Hillis-Steele."""
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    d = 1
+    while d < k:
+        shifted = pltpu.roll(x, d, 0)
+        x = x + jnp.where(row >= d, shifted, 0.0)
+        d *= 2
+    return x
+
+
+def _tile_pixels(t, grid_x, cfg: RasterConfig):
+    """Pixel coordinates of tile t as (1, P) float rows."""
+    trow = t // grid_x
+    tcol = t - trow * grid_x
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, cfg.pixels_per_tile), 1)
+    ly = p // cfg.tile_w
+    lx = p - ly * cfg.tile_w
+    px = (tcol * cfg.tile_w + lx).astype(jnp.float32)
+    py = (trow * cfg.tile_h + ly).astype(jnp.float32)
+    return px, py
+
+
+def _chunk_alpha(inst, valid, px, py, cfg: RasterConfig):
+    """inst: [K, ROW] VMEM rows; px/py: (1, P). Returns per-chunk
+    (a, pass_mask, G, dx, dy) of shape [K, P] (forward.cu:529-547)."""
+    dx = inst[:, 0:1] - px          # [K, P]
+    dy = inst[:, 1:2] - py
+    cxx, cxy, cyy = inst[:, 2:3], inst[:, 3:4], inst[:, 4:5]
+    power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
+    G = jnp.exp(power)
+    alpha = jnp.minimum(cfg.alpha_clamp, inst[:, 5:6] * G)
+    pass_mask = (power <= 0.0) & (alpha >= cfg.alpha_min) & valid
+    a = jnp.where(pass_mask, alpha, 0.0)
+    return a, pass_mask, G, dx, dy
+
+
+def _features_from_rows(inst):
+    """[K, ROW] -> [K, CH]: color(3) | ones | aux(12)."""
+    ones = jnp.ones_like(inst[:, 0:1])
+    return jnp.concatenate([inst[:, 6:9], ones, inst[:, 9:21]], axis=1)
+
+
+def _coupled_feature(inst, ch):
+    """Coupled channel ch of the feature vector: color0..2 then ones."""
+    if ch < 3:
+        return inst[:, 6 + ch:7 + ch]
+    return jnp.ones_like(inst[:, 0:1])
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(tile_start, tile_count, grid_x_ref, inst_hbm, out_ref,
+                inst_vmem, sem, *, cfg: RasterConfig):
+    t = pl.program_id(0)
+    K = cfg.chunk
+    P = cfg.pixels_per_tile
+    start = tile_start[t]
+    count = tile_count[t]
+    px, py = _tile_pixels(t, grid_x_ref[0], cfg)
+    cap = inst_hbm.shape[0]
+
+    out_ref[0] = jnp.zeros((CH_PAD, P), jnp.float32)
+    n_chunks = (count + K - 1) // K
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+
+    def body(c, carry):
+        t_cur, done = carry  # [1, P] each
+        off = jnp.minimum(start + c * K, cap - K)
+        copy = pltpu.make_async_copy(
+            inst_hbm.at[pl.ds(off, K)], inst_vmem, sem)
+        copy.start()
+        copy.wait()
+        inst = inst_vmem[...]
+        valid = (c * K + row_idx) < count
+        a, pass_mask, _, _, _ = _chunk_alpha(inst, valid, px, py, cfg)
+        cp = _cumprod_sublanes(1.0 - a, K)
+        t_incl = t_cur * cp
+        # exclusive cumprod: shift down one sublane, top row = 1
+        t_prev = t_cur * jnp.where(row_idx == 0, 1.0, pltpu.roll(cp, 1, 0))
+        contrib = pass_mask & (t_incl >= cfg.t_min) & ~(done > 0.5)
+        w = jnp.where(contrib, a * t_prev, 0.0)          # [K, P]
+        f = _features_from_rows(inst)                     # [K, CH]
+        out_ref[0, :NUM_CH] += jax.lax.dot_general(
+            f, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)          # [CH, P]
+        t_new = jnp.minimum(
+            jnp.min(jnp.where(contrib, t_incl, jnp.inf), axis=0,
+                    keepdims=True), t_cur)
+        done_new = jnp.maximum(
+            done, jnp.max(jnp.where(pass_mask & (t_incl < cfg.t_min),
+                                    1.0, 0.0), axis=0, keepdims=True))
+        return t_new, done_new
+
+    t_final, _ = jax.lax.fori_loop(
+        0, n_chunks, body,
+        (jnp.ones((1, P), jnp.float32), jnp.zeros((1, P), jnp.float32)))
+    out_ref[0, FINAL_T_ROW:FINAL_T_ROW + 1] = t_final
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "grid", "interpret"))
+def composite_fwd_pallas(inst_table: jnp.ndarray, tile_start: jnp.ndarray,
+                         tile_count: jnp.ndarray, cfg: RasterConfig,
+                         grid: Tuple[int, int], interpret: bool = False):
+    """inst_table: [cap, ROW] pre-gathered sorted instance rows.
+    Returns packed [T, CH_PAD, P] (rows 0:16 accum, 16 final_T)."""
+    T = grid[0] * grid[1]
+    P = cfg.pixels_per_tile
+    K = cfg.chunk
+    grid_x = jnp.asarray([grid[1]], jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, CH_PAD, P), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((K, ROW), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, cfg=cfg),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, CH_PAD, P), jnp.float32),
+        interpret=interpret,
+    )(tile_start, tile_count, grid_x, inst_table)
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(tile_start, tile_count, grid_x_ref, inst_hbm, cot_ref,
+                fwd_ref, grads_hbm, inst_vmem, grow_vmem, sem_in, sem_out,
+                *, cfg: RasterConfig, image_hw: Tuple[int, int]):
+    t = pl.program_id(0)
+    K = cfg.chunk
+    P = cfg.pixels_per_tile
+    H, W = image_hw
+    start = tile_start[t]
+    count = tile_count[t]
+    px, py = _tile_pixels(t, grid_x_ref[0], cfg)
+
+    g = cot_ref[0, :NUM_CH]                              # [CH, P]
+    # Border-pixel normal-cotangent zeroing (backward.cu:497-501).
+    inside = ((px > 0) & (px < W - 1) & (py > 0) & (py < H - 1))
+    g = jnp.concatenate([
+        g[:NORMAL_CH.start],
+        g[NORMAL_CH.start:NORMAL_CH.stop] * inside.astype(jnp.float32),
+        g[NORMAL_CH.stop:]], axis=0)
+    gt = cot_ref[0, FINAL_T_ROW:FINAL_T_ROW + 1]         # [1, P]
+    a_tot = fwd_ref[0, :_COUPLED]                        # [4, P]
+    tfin = fwd_ref[0, FINAL_T_ROW:FINAL_T_ROW + 1]       # [1, P]
+
+    n_chunks = (count + K - 1) // K
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+
+    def body(c, carry):
+        t_cur, done, p0, p1, p2, p3 = carry
+        prefix = (p0, p1, p2, p3)
+        off = start + c * K
+        copy = pltpu.make_async_copy(inst_hbm.at[pl.ds(off, K)], inst_vmem,
+                                     sem_in)
+        copy.start()
+        copy.wait()
+        inst = inst_vmem[...]
+        valid = (c * K + row_idx) < count
+        a, pass_mask, G, dx, dy = _chunk_alpha(inst, valid, px, py, cfg)
+        cp = _cumprod_sublanes(1.0 - a, K)
+        t_incl = t_cur * cp
+        t_prev = t_cur * jnp.where(row_idx == 0, 1.0, pltpu.roll(cp, 1, 0))
+        contrib = pass_mask & (t_incl >= cfg.t_min) & ~(done > 0.5)
+        w = jnp.where(contrib, a * t_prev, 0.0)          # [K, P]
+
+        # All-channel feature grads: [K, P] x [CH, P]^T -> [K, CH] (MXU).
+        dfeat = jax.lax.dot_general(
+            w, g, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+        one_minus = jnp.where(contrib, 1.0 - a, 1.0)
+        d_alpha = gt * (-tfin / one_minus)
+        new_prefix = []
+        for ch in range(_COUPLED):
+            fch = _coupled_feature(inst, ch)
+            wf = w * fch
+            incl = prefix[ch] + _cumsum_sublanes(wf, K)
+            suffix = a_tot[ch:ch + 1] - incl
+            d_alpha = d_alpha + g[ch:ch + 1] * (
+                fch * t_prev - suffix / one_minus)
+            new_prefix.append(prefix[ch] + jnp.sum(wf, axis=0, keepdims=True))
+        d_alpha = jnp.where(contrib, d_alpha, 0.0)
+
+        op = inst[:, 5:6]
+        d_G = op * d_alpha                    # CUDA quirk: no clamp gating
+        dLdG_G = d_G * G
+        cxx, cxy, cyy = inst[:, 2:3], inst[:, 3:4], inst[:, 4:5]
+        d_op = jnp.sum(G * d_alpha, axis=1, keepdims=True)
+        d_mx = jnp.sum(dLdG_G * -(cxx * dx + cxy * dy), axis=1, keepdims=True)
+        d_my = jnp.sum(dLdG_G * -(cyy * dy + cxy * dx), axis=1, keepdims=True)
+        d_cxx = jnp.sum(dLdG_G * (-0.5 * dx * dx), axis=1, keepdims=True)
+        d_cxy = jnp.sum(dLdG_G * (-dx * dy), axis=1, keepdims=True)
+        d_cyy = jnp.sum(dLdG_G * (-0.5 * dy * dy), axis=1, keepdims=True)
+
+        g_row = jnp.concatenate([
+            d_mx, d_my, d_cxx, d_cxy, d_cyy, d_op,
+            dfeat[:, 0:3], dfeat[:, 4:16],
+            jnp.zeros((K, ROW - TABLE_DIM), jnp.float32)], axis=1)
+        g_row = jnp.where(valid, g_row, 0.0)
+        grow_vmem[...] = g_row
+        out = pltpu.make_async_copy(grow_vmem, grads_hbm.at[pl.ds(off, K)],
+                                    sem_out)
+        out.start()
+        out.wait()
+
+        t_new = jnp.minimum(
+            jnp.min(jnp.where(contrib, t_incl, jnp.inf), axis=0,
+                    keepdims=True), t_cur)
+        done_new = jnp.maximum(
+            done, jnp.max(jnp.where(pass_mask & (t_incl < cfg.t_min),
+                                    1.0, 0.0), axis=0, keepdims=True))
+        return (t_new, done_new) + tuple(new_prefix)
+
+    zero = jnp.zeros((1, P), jnp.float32)
+    jax.lax.fori_loop(0, n_chunks, body,
+                      (jnp.ones((1, P), jnp.float32), zero,
+                       zero, zero, zero, zero))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "grid", "image_hw",
+                                             "interpret"))
+def composite_bwd_pallas(inst_table, tile_start, tile_count, cot_packed,
+                         fwd_packed, cfg: RasterConfig,
+                         grid: Tuple[int, int], image_hw: Tuple[int, int],
+                         interpret: bool = False):
+    """Per-sorted-instance gradient rows [cap, ROW].
+
+    cot_packed/fwd_packed: [T, CH_PAD, P] cotangents / forward outputs in
+    the packed layout. The output buffer has a K-row spill pad (a tile's
+    last partial chunk writes K full rows; later tiles rewrite any rows
+    spilled into their range — the grid is sequential)."""
+    T = grid[0] * grid[1]
+    P = cfg.pixels_per_tile
+    K = cfg.chunk
+    cap = inst_table.shape[0]
+    grid_x = jnp.asarray([grid[1]], jnp.int32)
+    inst_padded = jnp.pad(inst_table, ((0, K), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, CH_PAD, P), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CH_PAD, P), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((K, ROW), jnp.float32),
+            pltpu.VMEM((K, ROW), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    grads = pl.pallas_call(
+        functools.partial(_bwd_kernel, cfg=cfg, image_hw=image_hw),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((cap + K, ROW), jnp.float32),
+        interpret=interpret,
+    )(tile_start, tile_count, grid_x, inst_padded, cot_packed, fwd_packed)
+    return grads[:cap]
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper — drop-in replacement for composite.composite
+# ---------------------------------------------------------------------------
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _pack_instances(table, ids):
+    return jnp.pad(table[ids], ((0, 0), (0, ROW - TABLE_DIM)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def composite_pallas(table, ids, tile_start, tile_count, inst_tile, inv_perm,
+                     offsets, cfg: RasterConfig, grid, image_hw):
+    """Pallas-kernel version of composite.composite (same contract:
+    returns (accum [T, CH, P], final_t [T, P]))."""
+    inst = _pack_instances(table, ids)
+    packed = composite_fwd_pallas(inst, tile_start, tile_count, cfg, grid,
+                                  interpret=_use_interpret())
+    return packed[:, :NUM_CH], packed[:, FINAL_T_ROW]
+
+
+def _cp_fwd(table, ids, tile_start, tile_count, inst_tile, inv_perm, offsets,
+            cfg, grid, image_hw):
+    inst = _pack_instances(table, ids)
+    packed = composite_fwd_pallas(inst, tile_start, tile_count, cfg, grid,
+                                  interpret=_use_interpret())
+    res = (inst, tile_start, tile_count, inst_tile, inv_perm, offsets, packed)
+    return (packed[:, :NUM_CH], packed[:, FINAL_T_ROW]), res
+
+
+def _cp_bwd(cfg, grid, image_hw, res, cots):
+    from .composite import reduce_sorted_instance_grads
+    inst, tile_start, tile_count, inst_tile, inv_perm, offsets, packed = res
+    g_acc, g_t = cots
+    T = grid[0] * grid[1]
+    P = cfg.pixels_per_tile
+    cot_packed = jnp.concatenate([
+        g_acc, g_t[:, None, :],
+        jnp.zeros((T, CH_PAD - NUM_CH - 1, P), jnp.float32)], axis=1)
+    rows = composite_bwd_pallas(inst, tile_start, tile_count, cot_packed,
+                                packed, cfg, grid, image_hw,
+                                interpret=_use_interpret())
+    # The kernel only writes rows inside each tile's (possibly
+    # cap_tile-truncated) range; everything else in the output buffer is
+    # uninitialised — mask before reducing.
+    cap = inst.shape[0]
+    s = jnp.arange(cap, dtype=jnp.int32)
+    t = jnp.minimum(inst_tile, T - 1)
+    j = s - tile_start[t]
+    written = (inst_tile < T) & (j >= 0) & (j < tile_count[t])
+    rows = jnp.where(written[:, None], rows[:, :TABLE_DIM], 0.0)
+    d_table = reduce_sorted_instance_grads(rows, inv_perm, offsets)
+    return (d_table, None, None, None, None, None, None)
+
+
+composite_pallas.defvjp(_cp_fwd, _cp_bwd)

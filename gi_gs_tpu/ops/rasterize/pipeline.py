@@ -80,7 +80,12 @@ def rasterize(means3d: jnp.ndarray,
         metallic, pre.depth[:, None], pre.pos_view,
     ], axis=1)  # [N, 21]
 
-    accum, final_t = composite(
+    if cfg.use_pallas:
+        from .pallas_composite import composite_pallas
+        comp = composite_pallas
+    else:
+        comp = composite
+    accum, final_t = comp(
         table, b.ids, b.tile_start, b.tile_count, b.inst_tile, b.inv_perm,
         b.offsets, cfg, grid, (height, width))
 
