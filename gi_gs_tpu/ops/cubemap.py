@@ -304,14 +304,35 @@ def specular_cubemap(cubemap: jnp.ndarray, roughness: float,
     P = 2 * h + 1
     flat = cubemap.reshape(-1, 3)
     padded = flat[src_idx.reshape(-1)].reshape(6, R + 2 * h, R + 2 * h, 3)
-    # Extract PxP patches: [6, 3*P*P, R, R] with channel-major ordering.
-    patches = jax.lax.conv_general_dilated_patches(
-        padded.transpose(0, 3, 1, 2), (P, P), (1, 1), "VALID")
-    patches = patches.reshape(6, 3, P * P, R, R)
-    out = jnp.einsum("fpyx,fcpyx->fyxc", W, patches,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-    return out
+    padded = padded.transpose(0, 3, 1, 2)  # [6, 3, R+2h, R+2h]
+
+    # Row-strip processing bounds the patch tensor to ~100MB (at 128^2 a
+    # full-face patch extraction would transiently need >1GB).
+    strip = max(1, min(R, (32 * 1024 * 1024) // max(1, 3 * P * P * R * 4)))
+    n_strips = -(-R // strip)
+
+    def do_strip(i):
+        rows = jax.lax.dynamic_slice(
+            padded, (0, 0, i * strip, 0),
+            (6, 3, strip + P - 1, R + 2 * h))
+        patches = jax.lax.conv_general_dilated_patches(
+            rows, (P, P), (1, 1), "VALID")  # [6, 3*P*P, strip, R]
+        patches = patches.reshape(6, 3, P * P, strip, R)
+        w_rows = jax.lax.dynamic_slice(W, (0, 0, i * strip, 0),
+                                       (6, P * P, strip, R))
+        return jnp.einsum("fpyx,fcpyx->fyxc", w_rows, patches,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    if n_strips == 1:
+        return do_strip(0)
+    # Pad rows so every strip slice is full-size, then crop.
+    pad_rows = n_strips * strip - R
+    padded = jnp.pad(padded, ((0, 0), (0, 0), (0, pad_rows), (0, 0)))
+    W = jnp.pad(W, ((0, 0), (0, 0), (0, pad_rows), (0, 0)))
+    out = jax.lax.map(do_strip, jnp.arange(n_strips))
+    out = out.transpose(1, 0, 2, 3, 4).reshape(6, n_strips * strip, R, 3)
+    return out[:, :R]
 
 
 def build_specular_mips(base: jnp.ndarray, min_res: int = 16,

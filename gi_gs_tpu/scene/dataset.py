@@ -172,10 +172,11 @@ def load_colmap(path: str, images: str = "images", eval_split: bool = True,
                 max_cameras: Optional[int] = None) -> SceneData:
     """COLMAP sparse/0 loader (ref readColmapSceneInfo,
     scene/dataset_readers.py:170-221)."""
+    from .. import native
     sparse = os.path.join(path, "sparse/0")
     try:
         cams = colmap.read_cameras_binary(os.path.join(sparse, "cameras.bin"))
-        imgs = colmap.read_images_binary(os.path.join(sparse, "images.bin"))
+        imgs = native.read_images_binary(os.path.join(sparse, "images.bin"))
     except FileNotFoundError:
         cams = colmap.read_cameras_text(os.path.join(sparse, "cameras.txt"))
         imgs = colmap.read_images_text(os.path.join(sparse, "images.txt"))
@@ -207,7 +208,7 @@ def load_colmap(path: str, images: str = "images", eval_split: bool = True,
         xyz, colors, _ = ply.fetch_point_cloud(ply_path)
     else:
         try:
-            xyz, rgb, _ = colmap.read_points3d_binary(
+            xyz, rgb, _ = native.read_points3d_binary(
                 os.path.join(sparse, "points3D.bin"))
         except FileNotFoundError:
             xyz, rgb, _ = colmap.read_points3d_text(
