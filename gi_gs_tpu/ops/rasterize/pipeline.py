@@ -52,6 +52,66 @@ def _ref_quotient(num: jnp.ndarray, den: jnp.ndarray) -> jnp.ndarray:
     return num + jax.lax.stop_gradient(val - num)
 
 
+def mark_visible(means3d: jnp.ndarray, w2c: jnp.ndarray,
+                 near: float = 0.2) -> jnp.ndarray:
+    """Frustum-culling visibility (ref markVisible ->
+    checkFrustum/in_frustum, rasterizer_impl.cu:790-803 +
+    auxiliary.h:150-176: near-plane test only)."""
+    z = (means3d[:, 0] * w2c[2, 0] + means3d[:, 1] * w2c[2, 1] +
+         means3d[:, 2] * w2c[2, 2] + w2c[2, 3])
+    return z > near
+
+
+def compute_peak_depth_pos(table, binning, cfg: RasterConfig, grid,
+                           height: int, width: int):
+    """Argmax-weight ("peak") depth/position selection
+    (ref forward.cu:577-583,619-622, enabled by argmax_depth). Forward-only
+    (the reference never differentiates it); returns
+    (peak_depth [1, H, W], peak_pos [3, H, W])."""
+    from .composite import (_chunk_geometry, _gather_chunk, _num_steps,
+                            _tile_pixel_coords)
+    table = jax.lax.stop_gradient(table)
+    T = grid[0] * grid[1]
+    P = cfg.pixels_per_tile
+    px, py = _tile_pixel_coords(grid, cfg)
+    n_steps = _num_steps(binning.tile_count, cfg)
+
+    def body(state):
+        c, t_cur, done, max_w, pk = state
+        row, valid, _ = _gather_chunk(table, binning.ids, binning.tile_start,
+                                      binning.tile_count, c, cfg)
+        a, pass_mask, _, _, _ = _chunk_geometry(row, valid, px, py, cfg)
+        cp = jnp.cumprod(1.0 - a, axis=1)
+        t_incl = t_cur[:, None, :] * cp
+        t_prev = t_cur[:, None, :] * jnp.concatenate(
+            [jnp.ones_like(cp[:, :1]), cp[:, :-1]], axis=1)
+        contrib = pass_mask & (t_incl >= cfg.t_min) & ~done[:, None, :]
+        w = jnp.where(contrib, a * t_prev, 0.0)            # [T, K, P]
+        # CUDA updates on strictly-greater weight per instance in order;
+        # chunk argmax resolves ties to the first index, then strictly-
+        # greater across chunks -> identical selection.
+        best_k = jnp.argmax(w, axis=1)                     # [T, P]
+        best_w = jnp.take_along_axis(w, best_k[:, None, :], axis=1)[:, 0]
+        upd = best_w > max_w
+        new_pk = []
+        for col in (17, 18, 19, 20):  # depth, pos_view xyz
+            v = jnp.take_along_axis(row[..., col], best_k, axis=1)  # [T, P]
+            new_pk.append(jnp.where(upd, v, pk[len(new_pk)]))
+        max_w = jnp.where(upd, best_w, max_w)
+        t_new = jnp.minimum(
+            jnp.where(contrib, t_incl, jnp.inf).min(axis=1), t_cur)
+        done_new = done | (pass_mask & (t_incl < cfg.t_min)).any(axis=1)
+        return c + 1, t_new, done_new, max_w, tuple(new_pk)
+
+    zero = jnp.zeros((T, P), jnp.float32)
+    init = (jnp.int32(0), jnp.ones((T, P), jnp.float32),
+            jnp.zeros((T, P), bool), zero, (zero, zero, zero, zero))
+    _, _, _, _, pk = jax.lax.while_loop(lambda s: s[0] < n_steps, body, init)
+    stacked = jnp.stack(pk, axis=1)                         # [T, 4, P]
+    img = _tiles_to_image(stacked, grid, cfg, height, width)
+    return img[0:1], img[1:4]
+
+
 def rasterize(means3d: jnp.ndarray,
               cov3d: jnp.ndarray,
               opacity: jnp.ndarray,       # [N, 1] activated
@@ -65,7 +125,8 @@ def rasterize(means3d: jnp.ndarray,
               bg_color: jnp.ndarray,      # [3]
               cfg: RasterConfig,
               ndc_offset: Optional[jnp.ndarray] = None,
-              inference: bool = False) -> RasterOutput:
+              inference: bool = False,
+              argmax_depth: bool = False) -> RasterOutput:
     grid = cfg.grid(height, width)
 
     pre = preprocess(means3d, cov3d, w2c, full_proj, tanfovx, tanfovy,
@@ -98,8 +159,16 @@ def rasterize(means3d: jnp.ndarray,
     out_albedo = img[7:10]
     out_rough = img[10:11] + (t_img if inference else 0.0)  # forward.cu:612-616
     out_metal = img[11:12]
-    out_depth = _ref_quotient(img[12:13], o)
-    out_pos = _ref_quotient(img[13:16], o)
+    if argmax_depth:
+        # Peak (max-weight) selection instead of the weighted mean
+        # (forward.cu:612-628 with argmax_depth).
+        pk_depth, pk_pos = compute_peak_depth_pos(table, b, cfg, grid,
+                                                  height, width)
+        out_depth = jnp.where(o > 1e-6, pk_depth, 0.0)
+        out_pos = jnp.where(o > 1e-6, pk_pos, 0.0)
+    else:
+        out_depth = _ref_quotient(img[12:13], o)
+        out_pos = _ref_quotient(img[13:16], o)
 
     # View-space normal: normalised inside the CUDA kernel with no backward
     # path (forward.cu:600-605; absent from backward args) -> stop_gradient.
@@ -113,3 +182,18 @@ def rasterize(means3d: jnp.ndarray,
         roughness=out_rough, metallic=out_metal, final_t=t_img,
         radii=pre.radius, visibility=pre.radius > 0,
         overflow=b.overflow, max_tile_count=b.max_tile_count)
+
+
+def rasterize_lite(means3d, cov3d, opacity, color, w2c, full_proj,
+                   tanfovx, tanfovy, height, width, bg_color,
+                   cfg: RasterConfig, argmax_depth: bool = False):
+    """Color/depth/opacity-only path (ref liteRenderCUDA /
+    lite_rasterize_gaussians, forward.cu:279-418 — exposed for baking,
+    unused by training). Returns (color [3,H,W], opacity [1,H,W],
+    depth [1,H,W], final_t [1,H,W])."""
+    zeros3 = jnp.zeros_like(color)
+    zeros1 = jnp.zeros_like(opacity)
+    out = rasterize(means3d, cov3d, opacity, color, zeros3, zeros3, zeros1,
+                    zeros1, w2c, full_proj, tanfovx, tanfovy, height, width,
+                    bg_color, cfg, argmax_depth=argmax_depth)
+    return out.color, out.opacity, out.depth, out.final_t

@@ -32,6 +32,7 @@ def render(camera: Camera, pc: GaussianParams, bg_color: jnp.ndarray,
            pad_normal: bool = False,
            derive_normal: bool = True,
            compute_occlusion: bool = True,
+           argmax_depth: bool = False,
            ndc_offset: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
     """Full G-buffer render of one view (ref gaussian_renderer render()).
 
@@ -54,7 +55,8 @@ def render(camera: Camera, pc: GaussianParams, bg_color: jnp.ndarray,
     out = rasterize(
         pc.xyz, cov3d, opacity, color, normal, albedo, roughness, metallic,
         camera.w2c, camera.full_proj, camera.tanfovx, camera.tanfovy,
-        H, W, bg_color, cfg, ndc_offset=ndc_offset, inference=inference)
+        H, W, bg_color, cfg, ndc_offset=ndc_offset, inference=inference,
+        argmax_depth=argmax_depth)
 
     # --- derived maps (GaussianRasterizer.forward, __init__.py:475-537) ---
     # The reference runs _C.depth_to_normal outside autograd (no grad_fn on
