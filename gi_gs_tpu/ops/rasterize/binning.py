@@ -54,9 +54,20 @@ def bin_and_sort(pre: Preprocessed, height: int, width: int,
     offsets = jnp.concatenate([jnp.zeros((1,), cum.dtype), cum])  # [N+1]
     total = cum[-1]
 
-    # Ragged expansion: instance j in [0, cap) -> owning gaussian.
+    # Ragged expansion: instance j in [0, cap) -> owning gaussian. A
+    # scatter of segment-start markers + one cumsum beats a [cap]-wide
+    # binary search over the offsets (searchsorted costs log2(N) strided
+    # gathers per instance on TPU). Empty segments scatter-accumulate at
+    # the same position, so the cumsum skips them correctly.
     j = jnp.arange(cap, dtype=jnp.int32)
-    g = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+    starts = jnp.clip(offsets[1:-1], 0, cap - 1)  # first row of gaussians 1..N-1
+    # Gaussians whose segment starts beyond capacity contribute no marker
+    # (their instances are dropped by the capacity anyway).
+    markers = jnp.zeros((cap,), jnp.int32).at[starts].add(
+        jnp.where(offsets[1:-1] < cap, 1, 0), indices_are_sorted=True)
+    g = jnp.cumsum(markers)
+    # Rows at/after `total` scatter markers at clipped positions; they are
+    # masked by in_range below, so only clamp for safe gathers.
     g_safe = jnp.minimum(g, n - 1)
     in_range = j < total
 
