@@ -126,14 +126,24 @@ def _fwd_kernel(tile_start, tile_count, grid_x_ref, inst_hbm, out_ref,
     n_chunks = (count + K - 1) // K
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
 
-    def body(c, carry):
-        t_cur, done = carry  # [1, P] each
+    def dma(c, slot):
         off = jnp.minimum(start + c * K, cap - K)
-        copy = pltpu.make_async_copy(
-            inst_hbm.at[pl.ds(off, K)], inst_vmem, sem)
-        copy.start()
-        copy.wait()
-        inst = inst_vmem[...]
+        return pltpu.make_async_copy(
+            inst_hbm.at[pl.ds(off, K)], inst_vmem.at[slot], sem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(state):
+        c, t_cur, done = state
+        slot = jax.lax.rem(c, 2)
+        # Prefetch the next chunk while this one computes.
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            dma(c + 1, 1 - slot).start()
+        dma(c, slot).wait()
+        inst = inst_vmem[slot]
         valid = (c * K + row_idx) < count
         a, pass_mask, _, _, _ = _chunk_alpha(inst, valid, px, py, cfg)
         cp = _cumprod_sublanes(1.0 - a, K)
@@ -153,11 +163,22 @@ def _fwd_kernel(tile_start, tile_count, grid_x_ref, inst_hbm, out_ref,
         done_new = jnp.maximum(
             done, jnp.max(jnp.where(pass_mask & (t_incl < cfg.t_min),
                                     1.0, 0.0), axis=0, keepdims=True))
-        return t_new, done_new
+        return c + 1, t_new, done_new
 
-    t_final, _ = jax.lax.fori_loop(
-        0, n_chunks, body,
-        (jnp.ones((1, P), jnp.float32), jnp.zeros((1, P), jnp.float32)))
+    # Early exit when every pixel of the tile is saturated (the CUDA
+    # block-wide done vote, forward.cu:506-508).
+    def cond(state):
+        c, _, done = state
+        return (c < n_chunks) & (jnp.min(done) < 0.5)
+
+    c_end, t_final, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.ones((1, P), jnp.float32),
+         jnp.zeros((1, P), jnp.float32)))
+    # Drain the prefetch that an early exit leaves in flight.
+    @pl.when(c_end < n_chunks)
+    def _():
+        dma(c_end, jax.lax.rem(c_end, 2)).wait()
     out_ref[0, FINAL_T_ROW:FINAL_T_ROW + 1] = t_final
 
 
@@ -179,8 +200,8 @@ def composite_fwd_pallas(inst_table: jnp.ndarray, tile_start: jnp.ndarray,
         out_specs=pl.BlockSpec((1, CH_PAD, P), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((K, ROW), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, K, ROW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -220,15 +241,25 @@ def _bwd_kernel(tile_start, tile_count, grid_x_ref, inst_hbm, cot_ref,
     n_chunks = (count + K - 1) // K
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
 
-    def body(c, carry):
-        t_cur, done, p0, p1, p2, p3 = carry
-        prefix = (p0, p1, p2, p3)
+    def dma_in(c, slot):
         off = start + c * K
-        copy = pltpu.make_async_copy(inst_hbm.at[pl.ds(off, K)], inst_vmem,
-                                     sem_in)
-        copy.start()
-        copy.wait()
-        inst = inst_vmem[...]
+        return pltpu.make_async_copy(inst_hbm.at[pl.ds(off, K)],
+                                     inst_vmem.at[slot], sem_in.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma_in(0, 0).start()
+
+    def body(state):
+        c, t_cur, done, p0, p1, p2, p3 = state
+        prefix = (p0, p1, p2, p3)
+        slot = jax.lax.rem(c, 2)
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            dma_in(c + 1, 1 - slot).start()
+        dma_in(c, slot).wait()
+        off = start + c * K
+        inst = inst_vmem[slot]
         valid = (c * K + row_idx) < count
         a, pass_mask, G, dx, dy = _chunk_alpha(inst, valid, px, py, cfg)
         cp = _cumprod_sublanes(1.0 - a, K)
@@ -284,12 +315,36 @@ def _bwd_kernel(tile_start, tile_count, grid_x_ref, inst_hbm, cot_ref,
         done_new = jnp.maximum(
             done, jnp.max(jnp.where(pass_mask & (t_incl < cfg.t_min),
                                     1.0, 0.0), axis=0, keepdims=True))
-        return (t_new, done_new) + tuple(new_prefix)
+        return (c + 1, t_new, done_new) + tuple(new_prefix)
+
+    def cond(state):
+        c, _, done = state[0], state[1], state[2]
+        return (c < n_chunks) & (jnp.min(done) < 0.5)
 
     zero = jnp.zeros((1, P), jnp.float32)
-    jax.lax.fori_loop(0, n_chunks, body,
-                      (jnp.ones((1, P), jnp.float32), zero,
-                       zero, zero, zero, zero))
+    end_state = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.ones((1, P), jnp.float32),
+         zero, zero, zero, zero, zero))
+    c_end = end_state[0]
+
+    @pl.when(c_end < n_chunks)
+    def _():
+        dma_in(c_end, jax.lax.rem(c_end, 2)).wait()
+
+    # Early exit skipped the remaining chunks: their instances received no
+    # contribution (all pixels saturated), so their gradient rows are
+    # zero — but the HBM buffer is uninitialised; zero-fill the tail.
+    grow_vmem[...] = jnp.zeros((K, ROW), jnp.float32)
+
+    def zfill(c, _):
+        out = pltpu.make_async_copy(
+            grow_vmem, grads_hbm.at[pl.ds(start + c * K, K)], sem_out)
+        out.start()
+        out.wait()
+        return 0
+
+    jax.lax.fori_loop(c_end, n_chunks, zfill, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "grid", "image_hw",
@@ -323,9 +378,9 @@ def composite_bwd_pallas(inst_table, tile_start, tile_count, cot_packed,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
+            pltpu.VMEM((2, K, ROW), jnp.float32),
             pltpu.VMEM((K, ROW), jnp.float32),
-            pltpu.VMEM((K, ROW), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
     )
