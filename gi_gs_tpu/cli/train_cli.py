@@ -58,6 +58,7 @@ def main(argv=None):
 
     os.makedirs(cfg.model.model_path, exist_ok=True)
     config_mod.save_cfg(cfg, cfg.model.model_path)
+    from ..scene.cameras import camera_to_json
 
     try:
         from torch.utils.tensorboard import SummaryWriter
@@ -70,6 +71,12 @@ def main(argv=None):
         eval_split=cfg.model.eval, resolution=cfg.model.resolution,
         white_background=cfg.model.white_background,
         max_cameras=cfg.model.max_cameras or None)
+
+    # SIBR-compatible camera dump + input point cloud
+    # (ref prepare_output_and_logger / Scene.__init__ side outputs).
+    with open(os.path.join(cfg.model.model_path, "cameras.json"), "w") as f:
+        json.dump([camera_to_json(i, r) for i, r in
+                   enumerate(scene.train_cameras + scene.test_cameras)], f)
 
     params = create_from_points(scene.points, scene.colors,
                                 capacity=cfg.model.capacity,

@@ -107,7 +107,14 @@ def create_from_points(points: np.ndarray, colors: np.ndarray,
     """
     n = points.shape[0]
     if n > capacity:
-        raise ValueError(f"init points {n} exceed capacity {capacity}")
+        # Deterministic subsample: capacity bounds the whole run; starting
+        # from fewer points just means densification does more work.
+        print(f"[gi_gs_tpu] init points {n} > capacity {capacity}; "
+              f"subsampling", flush=True)
+        sel = np.random.RandomState(0).choice(n, capacity, replace=False)
+        points = np.asarray(points)[sel]
+        colors = np.asarray(colors)[sel]
+        n = capacity
     K = (max_sh_degree + 1) ** 2
 
     pts = jnp.asarray(points, jnp.float32)

@@ -88,6 +88,19 @@ def latlong_to_cubemap(latlong: jnp.ndarray, res: int) -> jnp.ndarray:
             c10 * (1 - du) * dv + c11 * du * dv)
 
 
+def split_envmap_loss(base: jnp.ndarray, gt_envmap: jnp.ndarray
+                      ) -> Tuple[float, float]:
+    """Fork diagnostic (pbr/light.py:119-134): MSE of the exported
+    lat-long's upper/lower halves against the upper half of a GT envmap.
+    gt_envmap: [H, W, 3] (the fork resizes its HDRI to 1024x512)."""
+    exported = export_envmap(base, (gt_envmap.shape[0], gt_envmap.shape[1]))
+    h_half = exported.shape[0] // 2
+    gt_upper = gt_envmap[:h_half]
+    upper = float(((exported[:h_half] - gt_upper) ** 2).mean())
+    lower = float(((exported[h_half:] - gt_upper) ** 2).mean())
+    return upper, lower
+
+
 def load_hdr(path: str) -> np.ndarray:
     """Radiance .hdr/.exr -> [H, W, 3] float RGB (ref read_hdr,
     render.py:32-45 uses cv2)."""

@@ -108,6 +108,18 @@ def saturate_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip((a * b).sum(-1, keepdims=True), 1e-4, 1.0)
 
 
+def env_brdf_approx(roughness: jnp.ndarray, nov: jnp.ndarray) -> jnp.ndarray:
+    """Analytic split-sum env-BRDF (Lazarov 2013) — ref envBRDF_approx
+    (pbr/shade.py:14-24). roughness/nov: [..., 1]; returns [..., 2]."""
+    c0 = jnp.asarray([-1.0, -0.0275, -0.572, 0.022])
+    c1 = jnp.asarray([1.0, 0.0425, 1.04, -0.04])
+    c2 = jnp.asarray([-1.04, 1.04])
+    r = roughness * c0 + c1
+    a004 = jnp.minimum(r[..., 0:1] ** 2, jnp.exp2(-9.28 * nov)) * r[..., 0:1] \
+        + r[..., 1:2]
+    return jnp.clip(a004 * c2 + r[..., 2:4], 0.0, 1.0)
+
+
 def _trilinear_specular(specular, dirs, mip):
     """Per-pixel fractional-mip cubemap lookup over the prefiltered stack
     (dr.texture linear-mipmap-linear with mip_level_bias,
