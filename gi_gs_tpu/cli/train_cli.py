@@ -24,26 +24,41 @@ from ..utils import checkpoint as ckpt
 from ..utils import image_utils
 
 
-def evaluate(cfg, state, records, phase2: bool, max_views: int = 8) -> Dict:
-    """Held-out metrics (ref training_report, train.py:553-818)."""
+def evaluate(cfg, state, records, phase2: bool, max_views: int = 8,
+             tb=None, iteration: int = 0) -> Dict:
+    """Held-out metrics + optional TensorBoard image grids
+    (ref training_report, train.py:553-818)."""
     from ..renderer import render
     from ..cli.render_cli import render_pbr_view
 
     psnrs, ssims = [], []
     bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.model.white_background
                      else [0.0, 0.0, 0.0])
-    for rec in records[:max_views]:
+    for i, rec in enumerate(records[:max_views]):
         cam = rec.camera()
         gt = jnp.clip(jnp.asarray(rec.image) * jnp.asarray(rec.alpha) +
                       bg[:, None, None] * (1 - jnp.asarray(rec.alpha)), 0, 1)
         if phase2:
-            img = render_pbr_view(cfg, state, cam, bg)["render_rgb"]
+            out = render_pbr_view(cfg, state, cam, bg)
+            img = out["render_rgb"]
         else:
             res = render(cam, state.params, bg, cfg.raster, cfg.gi,
                          derive_normal=False, compute_occlusion=False)
+            out = res
             img = jnp.clip(res["render"], 0.0, 1.0)
-        psnrs.append(float(image_utils.psnr(img, gt)))
-        ssims.append(float(image_utils.ssim(img, gt)))
+        psnrs.append(float(image_utils.psnr(jnp.clip(img, 0, 1), gt)))
+        ssims.append(float(image_utils.ssim(jnp.clip(img, 0, 1), gt)))
+        if tb is not None and i < 3:
+            tb.add_image(f"eval/render_{i}",
+                         np.clip(np.asarray(img), 0, 1), iteration)
+            tb.add_image(f"eval/gt_{i}", np.asarray(gt), iteration)
+            if phase2:
+                tb.add_image(f"eval/albedo_{i}",
+                             np.clip(np.asarray(out["albedo_map"]), 0, 1),
+                             iteration)
+                tb.add_image(f"eval/normal_{i}",
+                             (np.asarray(out["normal_map"]) + 1) / 2,
+                             iteration)
     return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
             "n_views": len(psnrs)}
 
@@ -151,7 +166,8 @@ def main(argv=None):
                 tb.add_scalar("train/iters_per_s", ips, iteration)
 
         if iteration in cfg.train.test_iterations and scene.test_cameras:
-            metrics = evaluate(cfg, state, scene.test_cameras, phase2)
+            metrics = evaluate(cfg, state, scene.test_cameras, phase2,
+                               tb=tb, iteration=iteration)
             print(f"[ITER {iteration}] eval: {metrics}", flush=True)
             if tb:
                 tb.add_scalar("test/psnr", metrics["psnr"], iteration)

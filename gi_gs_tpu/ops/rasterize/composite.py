@@ -59,17 +59,25 @@ _COUPLED = 4          # color(3) + ones(1) channels couple into d(alpha)
 NORMAL_CH = slice(4, 7)
 
 
-def _tile_pixel_coords(grid, cfg: RasterConfig):
-    """Pixel coordinates per tile: two [T, P] float arrays (x, y)."""
+def _tile_pixel_coords(grid, cfg: RasterConfig, tile_base=None, n_local=None):
+    """Pixel coordinates per tile: two [T_local, P] float arrays (x, y).
+
+    tile_base: optional traced scalar — global index of the first local
+    tile (tile-sharded rendering: each shard owns a contiguous tile
+    range); n_local: number of local tiles (defaults to the full grid).
+    """
     ty, tx = grid
     P = cfg.pixels_per_tile
-    t = np.arange(ty * tx)
+    n = ty * tx if n_local is None else n_local
+    t = jnp.arange(n, dtype=jnp.int32)
+    if tile_base is not None:
+        t = t + tile_base
     trow, tcol = t // tx, t % tx
-    lp = np.arange(P)
+    lp = jnp.arange(P, dtype=jnp.int32)
     ly, lx = lp // cfg.tile_w, lp % cfg.tile_w
-    py = trow[:, None] * cfg.tile_h + ly[None, :]
-    px = tcol[:, None] * cfg.tile_w + lx[None, :]
-    return jnp.asarray(px, jnp.float32), jnp.asarray(py, jnp.float32)
+    py = (trow[:, None] * cfg.tile_h + ly[None, :]).astype(jnp.float32)
+    px = (tcol[:, None] * cfg.tile_w + lx[None, :]).astype(jnp.float32)
+    return px, py
 
 
 def _features(row: jnp.ndarray) -> jnp.ndarray:
@@ -114,7 +122,7 @@ def _num_steps(tile_count, cfg):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def composite(table, ids, tile_start, tile_count, inst_tile, inv_perm,
               offsets, cfg: RasterConfig, grid: Tuple[int, int],
-              image_hw: Tuple[int, int]):
+              image_hw: Tuple[int, int], tile_base=None):
     """Blend sorted instances into per-tile accumulators.
 
     Args:
@@ -127,13 +135,14 @@ def composite(table, ids, tile_start, tile_count, inst_tile, inv_perm,
       accum:   [T, CH, P] weighted feature sums (alpha * transmittance).
       final_T: [T, P] residual transmittance.
     """
-    return _fwd_impl(table, ids, tile_start, tile_count, cfg, grid)
+    return _fwd_impl(table, ids, tile_start, tile_count, cfg, grid,
+                     tile_base)
 
 
-def _fwd_impl(table, ids, tile_start, tile_count, cfg, grid):
-    T = grid[0] * grid[1]
+def _fwd_impl(table, ids, tile_start, tile_count, cfg, grid, tile_base=None):
+    T = tile_start.shape[0]
     P = cfg.pixels_per_tile
-    px, py = _tile_pixel_coords(grid, cfg)
+    px, py = _tile_pixel_coords(grid, cfg, tile_base, T)
     n_steps = _num_steps(tile_count, cfg)
 
     def body(state):
@@ -163,34 +172,34 @@ def _fwd_impl(table, ids, tile_start, tile_count, cfg, grid):
 
 
 def _composite_fwd(table, ids, tile_start, tile_count, inst_tile, inv_perm,
-                   offsets, cfg, grid, image_hw):
-    out = _fwd_impl(table, ids, tile_start, tile_count, cfg, grid)
+                   offsets, cfg, grid, image_hw, tile_base=None):
+    out = _fwd_impl(table, ids, tile_start, tile_count, cfg, grid, tile_base)
     res = (table, ids, tile_start, tile_count, inst_tile, inv_perm, offsets,
-           out[0], out[1])
+           tile_base, out[0], out[1])
     return out, res
 
 
-def _border_mask(grid, cfg, image_hw):
+def _border_mask(grid, cfg, image_hw, tile_base=None, n_local=None):
     """[T, P] float mask: 0 on the 1-px true-image border (and beyond),
     1 inside — the CUDA edge-normal gradient skip (backward.cu:497-501)."""
     H, W = image_hw
-    px, py = _tile_pixel_coords(grid, cfg)
+    px, py = _tile_pixel_coords(grid, cfg, tile_base, n_local)
     inside = (px > 0) & (px < W - 1) & (py > 0) & (py < H - 1)
     return inside.astype(jnp.float32)
 
 
 def _composite_bwd(cfg, grid, image_hw, res, cotangents):
     (table, ids, tile_start, tile_count, inst_tile, inv_perm, offsets,
-     accum, final_t) = res
+     tile_base, accum, final_t) = res
     g_acc, g_t = cotangents
-    T = grid[0] * grid[1]
+    T = tile_start.shape[0]
     P = cfg.pixels_per_tile
     K = cfg.chunk
     steps = cfg.chunks_per_tile
-    px, py = _tile_pixel_coords(grid, cfg)
+    px, py = _tile_pixel_coords(grid, cfg, tile_base, T)
 
     # Border-pixel normal cotangent zeroing (backward.cu:497-501).
-    bmask = _border_mask(grid, cfg, image_hw)[:, None, :]     # [T, 1, P]
+    bmask = _border_mask(grid, cfg, image_hw, tile_base, T)[:, None, :]
     g_acc = jnp.concatenate([
         g_acc[:, :NORMAL_CH.start],
         g_acc[:, NORMAL_CH] * bmask,
@@ -267,12 +276,13 @@ def _composite_bwd(cfg, grid, image_hw, res, cotangents):
     _, _, _, _, grads = jax.lax.while_loop(lambda s: s[0] < n_steps, body, init)
 
     d_table = _reduce_to_gaussians(grads, inst_tile, tile_start, tile_count,
-                                   inv_perm, offsets, table.shape[0], cfg, grid)
-    return (d_table, None, None, None, None, None, None)
+                                   inv_perm, offsets, table.shape[0], cfg,
+                                   grid, tile_base)
+    return (d_table, None, None, None, None, None, None, None)
 
 
 def _reduce_to_gaussians(grads, inst_tile, tile_start, tile_count, inv_perm,
-                         offsets, num_gaussians, cfg, grid):
+                         offsets, num_gaussians, cfg, grid, tile_base=None):
     """[steps, T, K, D] chunk-grads -> per-Gaussian [N, D], scatter-free.
 
     Sorted instance s lives at (c, t, k) with t = inst_tile[s],
@@ -280,14 +290,17 @@ def _reduce_to_gaussians(grads, inst_tile, tile_start, tile_count, inv_perm,
     order is gaussian-major, so after unsorting (one gather through
     inv_perm) the per-Gaussian reduction is a prefix-sum difference.
     """
-    T = grid[0] * grid[1]
+    T = tile_start.shape[0]
     K = cfg.chunk
     cap = inst_tile.shape[0]
+    base = 0 if tile_base is None else tile_base
     s = jnp.arange(cap, dtype=jnp.int32)
-    t = jnp.minimum(inst_tile, T - 1)
+    # inst_tile holds GLOBAL tile ids; this shard owns [base, base+T).
+    t_local = inst_tile - base
+    t = jnp.clip(t_local, 0, T - 1)
     j = s - tile_start[t]
     lin = (j // K) * (T * K) + t * K + (j % K)
-    in_tile = (inst_tile < T) & (j >= 0) & (j < tile_count[t])
+    in_tile = (t_local >= 0) & (t_local < T) & (j >= 0) & (j < tile_count[t])
     lin = jnp.clip(lin, 0, grads.shape[0] * T * K - 1)
     g_sorted = grads.reshape(-1, TABLE_DIM)[lin]
     g_sorted = jnp.where(in_tile[:, None], g_sorted, 0.0)

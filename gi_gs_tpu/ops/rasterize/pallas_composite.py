@@ -70,7 +70,7 @@ def _cumsum_sublanes(x: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def _tile_pixels(t, grid_x, cfg: RasterConfig):
-    """Pixel coordinates of tile t as (1, P) float rows."""
+    """Pixel coordinates of (global) tile t as (1, P) float rows."""
     trow = t // grid_x
     tcol = t - trow * grid_x
     p = jax.lax.broadcasted_iota(jnp.int32, (1, cfg.pixels_per_tile), 1)
@@ -112,14 +112,14 @@ def _coupled_feature(inst, ch):
 # Forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(tile_start, tile_count, grid_x_ref, inst_hbm, out_ref,
+def _fwd_kernel(tile_start, tile_count, meta_ref, inst_hbm, out_ref,
                 inst_vmem, sem, *, cfg: RasterConfig):
     t = pl.program_id(0)
     K = cfg.chunk
     P = cfg.pixels_per_tile
     start = tile_start[t]
     count = tile_count[t]
-    px, py = _tile_pixels(t, grid_x_ref[0], cfg)
+    px, py = _tile_pixels(t + meta_ref[1], meta_ref[0], cfg)
     cap = inst_hbm.shape[0]
 
     out_ref[0] = jnp.zeros((CH_PAD, P), jnp.float32)
@@ -185,13 +185,16 @@ def _fwd_kernel(tile_start, tile_count, grid_x_ref, inst_hbm, out_ref,
 @functools.partial(jax.jit, static_argnames=("cfg", "grid", "interpret"))
 def composite_fwd_pallas(inst_table: jnp.ndarray, tile_start: jnp.ndarray,
                          tile_count: jnp.ndarray, cfg: RasterConfig,
-                         grid: Tuple[int, int], interpret: bool = False):
+                         grid: Tuple[int, int], interpret: bool = False,
+                         tile_base=None):
     """inst_table: [cap, ROW] pre-gathered sorted instance rows.
     Returns packed [T, CH_PAD, P] (rows 0:16 accum, 16 final_T)."""
-    T = grid[0] * grid[1]
+    T = tile_start.shape[0]
     P = cfg.pixels_per_tile
     K = cfg.chunk
-    grid_x = jnp.asarray([grid[1]], jnp.int32)
+    if tile_base is None:
+        tile_base = jnp.zeros((), jnp.int32)
+    meta = jnp.stack([jnp.int32(grid[1]), tile_base.astype(jnp.int32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -209,14 +212,14 @@ def composite_fwd_pallas(inst_table: jnp.ndarray, tile_start: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, CH_PAD, P), jnp.float32),
         interpret=interpret,
-    )(tile_start, tile_count, grid_x, inst_table)
+    )(tile_start, tile_count, meta, inst_table)
 
 
 # ---------------------------------------------------------------------------
 # Backward
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(tile_start, tile_count, grid_x_ref, inst_hbm, cot_ref,
+def _bwd_kernel(tile_start, tile_count, meta_ref, inst_hbm, cot_ref,
                 fwd_ref, grads_hbm, inst_vmem, grow_vmem, sem_in, sem_out,
                 *, cfg: RasterConfig, image_hw: Tuple[int, int]):
     t = pl.program_id(0)
@@ -225,7 +228,7 @@ def _bwd_kernel(tile_start, tile_count, grid_x_ref, inst_hbm, cot_ref,
     H, W = image_hw
     start = tile_start[t]
     count = tile_count[t]
-    px, py = _tile_pixels(t, grid_x_ref[0], cfg)
+    px, py = _tile_pixels(t + meta_ref[1], meta_ref[0], cfg)
 
     g = cot_ref[0, :NUM_CH]                              # [CH, P]
     # Border-pixel normal-cotangent zeroing (backward.cu:497-501).
@@ -352,18 +355,20 @@ def _bwd_kernel(tile_start, tile_count, grid_x_ref, inst_hbm, cot_ref,
 def composite_bwd_pallas(inst_table, tile_start, tile_count, cot_packed,
                          fwd_packed, cfg: RasterConfig,
                          grid: Tuple[int, int], image_hw: Tuple[int, int],
-                         interpret: bool = False):
+                         interpret: bool = False, tile_base=None):
     """Per-sorted-instance gradient rows [cap, ROW].
 
     cot_packed/fwd_packed: [T, CH_PAD, P] cotangents / forward outputs in
     the packed layout. The output buffer has a K-row spill pad (a tile's
     last partial chunk writes K full rows; later tiles rewrite any rows
     spilled into their range — the grid is sequential)."""
-    T = grid[0] * grid[1]
+    T = tile_start.shape[0]
     P = cfg.pixels_per_tile
     K = cfg.chunk
     cap = inst_table.shape[0]
-    grid_x = jnp.asarray([grid[1]], jnp.int32)
+    if tile_base is None:
+        tile_base = jnp.zeros((), jnp.int32)
+    meta = jnp.stack([jnp.int32(grid[1]), tile_base.astype(jnp.int32)])
     inst_padded = jnp.pad(inst_table, ((0, K), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -389,7 +394,7 @@ def composite_bwd_pallas(inst_table, tile_start, tile_count, cot_packed,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((cap + K, ROW), jnp.float32),
         interpret=interpret,
-    )(tile_start, tile_count, grid_x, inst_padded, cot_packed, fwd_packed)
+    )(tile_start, tile_count, meta, inst_padded, cot_packed, fwd_packed)
     return grads[:cap]
 
 
