@@ -203,46 +203,58 @@ def _march(pos, sample_vec, value_img, depth_img, fx, fy, p: GIParams):
     return hit, val
 
 
-def _direction_batches(normal_view, p: GIParams, batch: int = 16):
-    """Yield (weights cos*sin [B], sample_vec [B,3,H,W]) batches over the
-    phi x theta grid."""
+def _direction_table(p: GIParams, batch: int = 16):
+    """Static (tangent-space dirs [Nb, B, 3], weights cos*sin [Nb, B])
+    over the phi x theta grid, padded to whole batches (pad weight 0 and
+    a +z dir whose hits are ignored via the zero weight; SSR's
+    per-direction nrSamples counts only real directions)."""
     phis, thetas = march_directions(p.delta)
-    tang, bitan, nrm = _tbn(normal_view)
-    dirs = []
-    ws = []
+    dirs, ws = [], []
     for ph in phis:
         for th in thetas:
             v = np.array([math.sin(th) * math.cos(ph),
                           math.sin(th) * math.sin(ph),
                           math.cos(th)], np.float32)
-            n = np.linalg.norm(v)
-            dirs.append(v / max(n, 1e-20))
+            dirs.append(v / max(np.linalg.norm(v), 1e-20))
             ws.append(np.float32(math.cos(th) * math.sin(th)))
-    dirs = np.stack(dirs)  # [D, 3] tangent space
-    ws = np.array(ws, np.float32)
-    D = dirs.shape[0]
-    for s in range(0, D, batch):
-        d = jnp.asarray(dirs[s:s + batch])  # [B, 3]
-        sv = (d[:, 0, None, None, None] * tang[None] +
-              d[:, 1, None, None, None] * bitan[None] +
-              d[:, 2, None, None, None] * nrm[None])  # [B, 3, H, W]
-        yield ws[s:s + batch], sv  # weights stay numpy (static)
+    n_real = len(dirs)
+    pad = (-n_real) % batch
+    for _ in range(pad):
+        dirs.append(np.array([0, 0, 1], np.float32))
+        ws.append(np.float32(0.0))
+    d = np.stack(dirs).reshape(-1, batch, 3)
+    w = np.array(ws, np.float32).reshape(-1, batch)
+    return d, w, n_real  # numpy (static) — callers convert as needed
+
+
+def _tangent_to_view(d, tang, bitan, nrm):
+    """[B, 3] tangent dirs -> [B, 3, H, W] view-space sample vectors."""
+    return (d[:, 0, None, None, None] * tang[None] +
+            d[:, 1, None, None, None] * bitan[None] +
+            d[:, 2, None, None, None] * nrm[None])
 
 
 def ssao(normal_view: jnp.ndarray, pos: jnp.ndarray, fx, fy,
          p: GIParams) -> jnp.ndarray:
     """Screen-space ambient occlusion [1, H, W] (SSAOCUDA). No gradients
-    (the reference runs it under no_grad)."""
+    (the reference runs it under no_grad). The direction grid is scanned
+    in batches (one traced body) so the graph stays small."""
     normal_view = jax.lax.stop_gradient(normal_view)
     pos = jax.lax.stop_gradient(pos)
     nrm = _unit3(normal_view)
+    tang, bitan, nrm3 = _tbn(nrm)
     H, W = pos.shape[1:]
-    occ = jnp.zeros((H, W))
-    nr = 0.0
-    for w, sv in _direction_batches(nrm, p):
+    dirs_np, ws_np, _ = _direction_table(p)
+    nr = float(ws_np.sum())
+    dirs, ws = jnp.asarray(dirs_np), jnp.asarray(ws_np)
+
+    def body(occ, batch):
+        d, w = batch
+        sv = _tangent_to_view(d, tang, bitan, nrm3)
         hit, _ = _march(pos, sv, None, pos[2], fx, fy, p)
-        occ = occ + (hit * jnp.asarray(w)[:, None, None]).sum(0)
-        nr = nr + float(w.sum())
+        return occ + (hit * w[:, None, None]).sum(0), None
+
+    occ, _ = jax.lax.scan(body, jnp.zeros((H, W)), (dirs, ws))
     if nr > 0:
         out = jnp.clip(1.0 - occ / nr, 0.0, 1.0)
     else:
@@ -282,12 +294,18 @@ def ssr(normal_view: jnp.ndarray, pos: jnp.ndarray, rgb: jnp.ndarray,
     fr = fresnel_schlick(n_dot_v, f0)  # [3, H, W]
     k_d = (1.0 - fr) * (1.0 - metallic)
 
-    diffuse = jnp.zeros((3, H, W))
-    nr = 0.0
-    for w, sv in _direction_batches(nrm, p):
+    tang, bitan, nrm3 = _tbn(nrm)
+    dirs_np, ws_np, n_real = _direction_table(p)
+    dirs, ws = jnp.asarray(dirs_np), jnp.asarray(ws_np)
+
+    def body(diff, batch):
+        d, w = batch
+        sv = _tangent_to_view(d, tang, bitan, nrm3)
         _, val = _march(pos, sv, rgb, pos[2], fx, fy, p)  # [B, 3, H, W]
-        diffuse = diffuse + (val * jnp.asarray(w)[:, None, None, None]).sum(0)
-        nr = nr + len(w)
+        return diff + (val * w[:, None, None, None]).sum(0), None
+
+    diffuse, _ = jax.lax.scan(body, jnp.zeros((3, H, W)), (dirs, ws))
+    nr = n_real
     if nr > 0:
         gd = math.pi * diffuse / nr * k_d
         color = sg(gd) * albedo
