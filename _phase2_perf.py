@@ -28,15 +28,18 @@ elif which == "ssr":
     for _ in range(3): out = f(nrm, pos, rgb); fence(out)
     print("ssr run:", round((time.time()-t0)/3*1000,1), "ms", flush=True)
 elif which == "mips":
-    from gi_gs_tpu.models.light import build_mips
+    from gi_gs_tpu.models.light import build_mips_packed, build_prefilter_tables
+    spec, arrays = build_prefilter_tables(256)
     base = jnp.asarray(rng.rand(6, 256, 256, 3).astype(np.float32))
-    f = jax.jit(lambda b: build_mips(b).specular[0])
-    t0=time.time(); out = f(base); fence(out); print("mips compile", round(time.time()-t0,1), flush=True)
+    def build_mips(b, arrs=None):
+        return build_mips_packed(b, spec, arrs)
+    f = jax.jit(lambda b, arrs: build_mips(b, arrs).specular[0])
+    t0=time.time(); out = f(base, arrays); fence(out); print("mips compile", round(time.time()-t0,1), flush=True)
     t0=time.time()
-    for _ in range(3): out = f(base); fence(out)
+    for _ in range(3): out = f(base, arrays); fence(out)
     print("build_mips fwd run:", round((time.time()-t0)/3*1000,1), "ms", flush=True)
-    g = jax.jit(jax.grad(lambda b: sum(s.sum() for s in build_mips(b).specular) + build_mips(b).diffuse.sum()))
-    t0=time.time(); out = g(base); fence(out); print("mips grad compile", round(time.time()-t0,1), flush=True)
+    g = jax.jit(jax.grad(lambda b, arrs: sum(x.sum() for x in build_mips(b, arrs).specular) + build_mips(b, arrs).diffuse.sum(), argnums=0))
+    t0=time.time(); out = g(base, arrays); fence(out); print("mips grad compile", round(time.time()-t0,1), flush=True)
     t0=time.time()
-    for _ in range(3): out = g(base); fence(out)
+    for _ in range(3): out = g(base, arrays); fence(out)
     print("build_mips fwd+bwd run:", round((time.time()-t0)/3*1000,1), "ms", flush=True)

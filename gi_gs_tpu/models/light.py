@@ -34,6 +34,21 @@ def build_mips(base: jnp.ndarray, cutoff: float = 0.99) -> CubemapLight:
     return CubemapLight(specular=tuple(spec), diffuse=diff)
 
 
+def build_prefilter_tables(base_res: int, cutoff: float = 0.99):
+    """Static prefilter operators for `build_mips_packed`. The arrays must
+    be passed as *arguments* into jitted code (hundreds of MB of static
+    weights as HLO constants exceed compiler request limits)."""
+    return cm.build_prefilter_tables(
+        base_res, min_res=LIGHT_MIN_RES, min_roughness=MIN_ROUGHNESS,
+        max_roughness=MAX_ROUGHNESS, cutoff=cutoff)
+
+
+def build_mips_packed(base: jnp.ndarray, spec, arrays) -> CubemapLight:
+    s, d = cm.build_specular_mips_packed(base, spec, arrays,
+                                         min_res=LIGHT_MIN_RES)
+    return CubemapLight(specular=tuple(s), diffuse=d)
+
+
 def get_mip(roughness: jnp.ndarray, num_levels: int) -> jnp.ndarray:
     """Roughness -> fractional mip level (pbr/light.py:142-152)."""
     lo = (jnp.clip(roughness, MIN_ROUGHNESS, MAX_ROUGHNESS) - MIN_ROUGHNESS) \

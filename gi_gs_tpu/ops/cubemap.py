@@ -335,6 +335,109 @@ def specular_cubemap(cubemap: jnp.ndarray, roughness: float,
     return out[:, :R]
 
 
+def _specular_apply_dense(cubemap: jnp.ndarray, M: jnp.ndarray) -> jnp.ndarray:
+    out = jnp.einsum("os,sc->oc", M, cubemap.reshape(-1, 3),
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(cubemap.shape)
+
+
+def _specular_apply_patch(cubemap: jnp.ndarray, src_idx: jnp.ndarray,
+                          W: jnp.ndarray, h: int) -> jnp.ndarray:
+    R = cubemap.shape[1]
+    P = 2 * h + 1
+    flat = cubemap.reshape(-1, 3)
+    padded = flat[src_idx.reshape(-1)].reshape(6, R + 2 * h, R + 2 * h, 3)
+    padded = padded.transpose(0, 3, 1, 2)
+    strip = max(1, min(R, (32 * 1024 * 1024) // max(1, 3 * P * P * R * 4)))
+    n_strips = -(-R // strip)
+
+    def do_strip(i, W_arr, padded_arr):
+        rows = jax.lax.dynamic_slice(
+            padded_arr, (0, 0, i * strip, 0), (6, 3, strip + P - 1, R + 2 * h))
+        patches = jax.lax.conv_general_dilated_patches(
+            rows, (P, P), (1, 1), "VALID")
+        patches = patches.reshape(6, 3, P * P, strip, R)
+        w_rows = jax.lax.dynamic_slice(W_arr, (0, 0, i * strip, 0),
+                                       (6, P * P, strip, R))
+        return jnp.einsum("fpyx,fcpyx->fyxc", w_rows, patches,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    if n_strips == 1:
+        return do_strip(0, W, padded)
+    pad_rows = n_strips * strip - R
+    padded = jnp.pad(padded, ((0, 0), (0, 0), (0, pad_rows), (0, 0)))
+    W = jnp.pad(W, ((0, 0), (0, 0), (0, pad_rows), (0, 0)))
+    out = jax.lax.map(lambda i: do_strip(i, W, padded),
+                      jnp.arange(n_strips))
+    out = out.transpose(1, 0, 2, 3, 4).reshape(6, n_strips * strip, R, 3)
+    return out[:, :R]
+
+
+def build_prefilter_tables(base_res: int, min_res: int = 16,
+                           min_roughness: float = 0.08,
+                           max_roughness: float = 0.5, cutoff: float = 0.99,
+                           dense_max_res: int = 32):
+    """Host-side construction of every level's static prefilter operator.
+
+    Returns (spec, arrays): `spec` is a hashable static descriptor
+    (('dense',) or ('patch', h) per level + diffuse), `arrays` a flat
+    tuple of device arrays. Pass `arrays` as ARGUMENTS into jitted code
+    (embedding the multi-hundred-MB tables as HLO constants blows past
+    compiler request limits).
+    """
+    levels = []
+    r = base_res
+    while r > min_res:
+        levels.append(r)
+        r //= 2
+    levels.append(r)
+    num = len(levels)
+    if num < 3:
+        roughs = [1.0] * num  # degenerate chains: treat all as max rough
+    else:
+        roughs = [(i / (num - 2)) * (max_roughness - min_roughness)
+                  + min_roughness for i in range(num - 1)] + [1.0]
+
+    spec = []
+    arrays = []
+    for res, rough in zip(levels, roughs):
+        if res <= dense_max_res:
+            spec.append(("dense",))
+            arrays.append(specular_matrix(res, float(rough), float(cutoff)))
+        else:
+            h, src_idx, W = _patch_tables(res, float(rough), float(cutoff))
+            spec.append(("patch", h))
+            arrays.append(src_idx)
+            arrays.append(W)
+    arrays.append(diffuse_matrix(levels[-1]))
+    return tuple(spec), tuple(arrays)
+
+
+def build_specular_mips_packed(base: jnp.ndarray, spec, arrays,
+                               min_res: int = 16):
+    """build_specular_mips with externally-supplied static tables (see
+    build_prefilter_tables). Returns (specular list, diffuse)."""
+    levels = [base]
+    while levels[-1].shape[1] > min_res:
+        levels.append(cubemap_mip(levels[-1]))
+    out = []
+    ai = 0
+    for lvl, sp in zip(levels, spec):
+        if sp[0] == "dense":
+            out.append(_specular_apply_dense(lvl, arrays[ai]))
+            ai += 1
+        else:
+            out.append(_specular_apply_patch(lvl, arrays[ai], arrays[ai + 1],
+                                             sp[1]))
+            ai += 2
+    # diffuse uses the cosine matrix (last array), applied to the coarsest
+    # *unfiltered* mip level like the reference (light.py:163).
+    diffuse = _specular_apply_dense(levels[-1], arrays[ai])
+    return out, diffuse
+
+
 def build_specular_mips(base: jnp.ndarray, min_res: int = 16,
                         min_roughness: float = 0.08,
                         max_roughness: float = 0.5,

@@ -20,7 +20,8 @@ import optax
 
 from ..config import Config
 from ..models.gaussians import GaussianParams
-from ..models.light import CubemapLight, build_mips
+from ..models.light import (CubemapLight, build_mips, build_mips_packed,
+                            build_prefilter_tables)
 from ..ops import screen_space
 from ..ops.shading import pbr_shading, get_brdf_lut
 from ..ops.cubemap import sample_cubemap
@@ -189,11 +190,17 @@ def compute_view_dirs(camera: Camera) -> jnp.ndarray:
 
 def make_phase2_step(cfg: Config, cameras_extent: float, tx, ltx):
     """Deferred-PBR phase step (train.py:330-421). Background is forced to
-    black like the reference (train.py:264-265)."""
+    black like the reference (train.py:264-265).
+
+    The cubemap prefilter weight tables are built host-side once and
+    passed as jit arguments (closure capture would embed hundreds of MB of
+    constants into the HLO)."""
     brdf_lut = get_brdf_lut()
     t = cfg.train
+    light_spec, light_arrays = build_prefilter_tables(t.light_base_res)
 
-    def step(state: TrainState, camera: Camera, image, alpha, bg, iteration):
+    def step(state: TrainState, camera: Camera, image, alpha, bg, iteration,
+             light_tables):
         bg = jnp.zeros_like(bg)  # NOTE: black background for PBR
         view_dirs = compute_view_dirs(camera)
 
@@ -215,7 +222,8 @@ def make_phase2_step(cfg: Config, cameras_extent: float, tx, ltx):
             else:
                 occlusion = jnp.ones_like(roughness_map).transpose(1, 2, 0)
 
-            light = build_mips(cubemap_base)
+            light = build_mips_packed(cubemap_base, light_spec,
+                                      light_tables)
             pbr = pbr_shading(
                 light=light,
                 normals=jax.lax.stop_gradient(
@@ -299,4 +307,10 @@ def make_phase2_step(cfg: Config, cameras_extent: float, tx, ltx):
         return new_state, StepAux(loss, aux["l1"], jnp.float32(0.0), psnr,
                                   dropped, aux["overflow"])
 
-    return jax.jit(step, donate_argnums=(0,))
+    jitted = jax.jit(step, donate_argnums=(0,))
+
+    def run(state, camera, image, alpha, bg, iteration):
+        return jitted(state, camera, image, alpha, bg, iteration,
+                      light_arrays)
+
+    return run
