@@ -44,12 +44,16 @@ def main():
     cfg.model = ModelConfig(capacity=CAP)
     cfg.opt = OptimizationConfig(densify_from_iter=10**9)  # pure fwd+bwd cost
     cfg.train = TrainConfig()
-    cfg.raster = RasterConfig(tile_h=8, tile_w=128, cap_instances=1 << 21,
-                              cap_tile=4096, chunk=32)
+    cfg.raster = RasterConfig(tile_h=8, tile_w=128, cap_tile=4096, chunk=32)
     cfg.gi = GIParams()
 
     cam = make_camera(R=np.eye(3), T=np.zeros(3), fovx=0.8, fovy=0.8,
                       width=W, height=H)
+
+    # Adaptive instance-capacity bucket, exactly as the training CLI does.
+    import dataclasses
+    cap_i = trainer.probe_cap_instances(cfg, params, [cam])
+    cfg.raster = dataclasses.replace(cfg.raster, cap_instances=cap_i)
     image = jnp.asarray(rng.rand(3, H, W).astype(np.float32))
     alpha = jnp.ones((1, H, W), jnp.float32)
     bg = jnp.zeros(3)

@@ -108,10 +108,23 @@ def main(argv=None):
     tx = build_optimizer(cfg.opt, scene.cameras_extent)
     ltx = build_light_optimizer(cfg.opt)
 
+    # Adaptive instance capacity: probe the real splat-tile population and
+    # compile for that bucket; on overflow the bucket grows and the step is
+    # re-jitted (TPU-native replacement for the reference's exact per-frame
+    # buffer allocation, rasterizer_impl.cu:582-592).
+    import dataclasses
+    probe_cams = [r.camera() for r in scene.train_cameras[:3]]
+    cap0 = trainer_mod.probe_cap_instances(cfg, params, probe_cams)
+    # An explicitly smaller --cap_instances is respected (overflow growth
+    # recovers if it was too tight); the probe only shrinks the default.
+    cap0 = min(cap0, cfg.raster.cap_instances)
+    cfg.raster = dataclasses.replace(cfg.raster, cap_instances=cap0)
+    print(f"instance capacity bucket: {cap0}", flush=True)
+
     step_cache: Dict = {}
 
     def get_step(phase2: bool):
-        key = ("p2" if phase2 else "p1")
+        key = ("p2" if phase2 else "p1", cfg.raster.cap_instances)
         if key not in step_cache:
             if phase2:
                 step_cache[key] = trainer_mod.make_phase2_step(
@@ -120,6 +133,16 @@ def main(argv=None):
                 step_cache[key] = trainer_mod.make_phase1_step(
                     cfg, scene.cameras_extent, tx)
         return step_cache[key]
+
+    def grow_capacity(overflow: int):
+        from ..ops.rasterize.pipeline import bucket_cap_instances
+        needed = cfg.raster.cap_instances + overflow
+        # Wider headroom on growth so re-jits stay rare while the
+        # densification schedule is still adding Gaussians.
+        new_cap = bucket_cap_instances(needed, headroom=1.3)
+        cfg.raster = dataclasses.replace(cfg.raster, cap_instances=new_cap)
+        print(f"instance capacity bucket -> {new_cap} "
+              f"(overflowed by {overflow})", flush=True)
 
     train_recs = scene.train_cameras
     cams = [r.camera() for r in train_recs]
@@ -150,6 +173,9 @@ def main(argv=None):
 
         if iteration % 100 == 0 or iteration == first_iter + 1:
             loss = float(aux.loss)
+            overflow = int(aux.overflow)
+            if overflow > 0:
+                grow_capacity(overflow)
             now = time.time()
             ips = 100.0 / max(now - t_report, 1e-9)
             t_report = now

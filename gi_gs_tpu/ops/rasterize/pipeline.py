@@ -112,6 +112,32 @@ def compute_peak_depth_pos(table, binning, cfg: RasterConfig, grid,
     return img[0:1], img[1:4]
 
 
+def count_instances(means3d: jnp.ndarray, cov3d: jnp.ndarray,
+                    w2c: jnp.ndarray, full_proj: jnp.ndarray,
+                    tanfovx, tanfovy, height: int, width: int,
+                    cfg: RasterConfig) -> jnp.ndarray:
+    """Exact (gaussian, tile) instance count for one view — the TPU analog
+    of the reference's `num_rendered` device->host sync
+    (rasterizer_impl.cu:589). Used host-side to pick the static
+    `cap_instances` bucket (the framework re-jits on overflow instead of
+    reallocating per frame)."""
+    pre = preprocess(means3d, cov3d, w2c, full_proj, tanfovx, tanfovy,
+                     width, height, cfg)
+    return pre.tiles_touched.sum().astype(jnp.int32)
+
+
+CAP_QUANTUM = 1 << 16  # instance-capacity bucket granularity
+
+
+def bucket_cap_instances(needed: int, headroom: float = 1.15,
+                         quantum: int = CAP_QUANTUM) -> int:
+    """Round a measured instance count up to a capacity bucket. Buckets are
+    multiples of `quantum` so a recompile only happens when the scene's
+    splat-tile population actually outgrows the current bucket."""
+    want = max(int(needed * headroom), quantum)
+    return -(-want // quantum) * quantum
+
+
 def rasterize(means3d: jnp.ndarray,
               cov3d: jnp.ndarray,
               opacity: jnp.ndarray,       # [N, 1] activated

@@ -68,6 +68,23 @@ def make_train_state(cfg: Config, params: GaussianParams,
         key=key)
 
 
+def probe_cap_instances(cfg: Config, params: GaussianParams, cameras,
+                        max_views: int = 3) -> int:
+    """Measure the (gaussian, tile) instance count over a camera sample and
+    return the capacity bucket to compile with (the adaptive replacement
+    for the reference's exact per-frame `num_rendered` allocation,
+    rasterizer_impl.cu:582-592)."""
+    from ..ops.rasterize.pipeline import bucket_cap_instances, count_instances
+    cov3d = params.get_covariance(1.0)
+    worst = 0
+    for cam in cameras[:max_views]:
+        n = int(count_instances(params.xyz, cov3d, cam.w2c, cam.full_proj,
+                                cam.tanfovx, cam.tanfovy, cam.height,
+                                cam.width, cfg.raster))
+        worst = max(worst, n)
+    return bucket_cap_instances(worst)
+
+
 def _gt_image(image, alpha, bg):
     return jnp.clip(image * alpha + bg[:, None, None] * (1.0 - alpha), 0.0, 1.0)
 
