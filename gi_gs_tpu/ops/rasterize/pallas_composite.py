@@ -40,7 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .config import RasterConfig
 from .composite import NUM_CH, TABLE_DIM, _COUPLED, NORMAL_CH
 
-ROW = 128      # padded instance-row width (Mosaic DMA wants 128-lane alignment)
+ROW = 128      # padded instance-row width. Mosaic tiles HBM arrays with
+               # 128-lane granularity and rejects narrower DMA slices
+               # (tried 32: "Slice shape along dimension 1 must be aligned
+               # to tiling (128)"), so the row pad stays at 128.
 CH_PAD = 24    # packed output rows: 0:16 accum, 16 final_T, 17:23 pad
 FINAL_T_ROW = NUM_CH
 
@@ -365,11 +368,11 @@ def composite_bwd_pallas(inst_table, tile_start, tile_count, cot_packed,
     T = tile_start.shape[0]
     P = cfg.pixels_per_tile
     K = cfg.chunk
-    cap = inst_table.shape[0]
+    cap = inst_table.shape[0]  # already includes the K spill rows
     if tile_base is None:
         tile_base = jnp.zeros((), jnp.int32)
     meta = jnp.stack([jnp.int32(grid[1]), tile_base.astype(jnp.int32)])
-    inst_padded = jnp.pad(inst_table, ((0, K), (0, 0)))
+    inst_padded = inst_table  # pre-padded by _pack_instances (K spill rows)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -392,10 +395,10 @@ def composite_bwd_pallas(inst_table, tile_start, tile_count, cot_packed,
     grads = pl.pallas_call(
         functools.partial(_bwd_kernel, cfg=cfg, image_hw=image_hw),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cap + K, ROW), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((cap, ROW), jnp.float32),
         interpret=interpret,
     )(tile_start, tile_count, meta, inst_padded, cot_packed, fwd_packed)
-    return grads[:cap]
+    return grads[:cap - K]
 
 
 # ---------------------------------------------------------------------------
@@ -406,8 +409,13 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _pack_instances(table, ids):
-    return jnp.pad(table[ids], ((0, 0), (0, ROW - TABLE_DIM)))
+def _pack_instances(table, ids, chunk: int):
+    """Gather the [N, TABLE_DIM] attribute table into sorted-instance order,
+    padded to ROW columns and `chunk` spill rows (so a tile's last partial
+    chunk can read/write K full rows without clamping). One gather, no
+    second full-size copy."""
+    ids_p = jnp.concatenate([ids, jnp.zeros((chunk,), ids.dtype)])
+    return jnp.pad(table, ((0, 0), (0, ROW - TABLE_DIM)))[ids_p]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
@@ -415,7 +423,7 @@ def composite_pallas(table, ids, tile_start, tile_count, inst_tile, inv_perm,
                      offsets, cfg: RasterConfig, grid, image_hw):
     """Pallas-kernel version of composite.composite (same contract:
     returns (accum [T, CH, P], final_t [T, P]))."""
-    inst = _pack_instances(table, ids)
+    inst = _pack_instances(table, ids, cfg.chunk)
     packed = composite_fwd_pallas(inst, tile_start, tile_count, cfg, grid,
                                   interpret=_use_interpret())
     return packed[:, :NUM_CH], packed[:, FINAL_T_ROW]
@@ -423,7 +431,7 @@ def composite_pallas(table, ids, tile_start, tile_count, inst_tile, inv_perm,
 
 def _cp_fwd(table, ids, tile_start, tile_count, inst_tile, inv_perm, offsets,
             cfg, grid, image_hw):
-    inst = _pack_instances(table, ids)
+    inst = _pack_instances(table, ids, cfg.chunk)
     packed = composite_fwd_pallas(inst, tile_start, tile_count, cfg, grid,
                                   interpret=_use_interpret())
     res = (inst, tile_start, tile_count, inst_tile, inv_perm, offsets, packed)
@@ -445,7 +453,7 @@ def _cp_bwd(cfg, grid, image_hw, res, cots):
     # The kernel only writes rows inside each tile's (possibly
     # cap_tile-truncated) range; everything else in the output buffer is
     # uninitialised — mask before reducing.
-    cap = inst.shape[0]
+    cap = inst.shape[0] - cfg.chunk
     s = jnp.arange(cap, dtype=jnp.int32)
     t = jnp.minimum(inst_tile, T - 1)
     j = s - tile_start[t]
