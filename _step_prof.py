@@ -27,7 +27,7 @@ cfg = Config()
 cfg.model = ModelConfig(capacity=CAP)
 cfg.opt = OptimizationConfig(densify_from_iter=10**9)
 cfg.train = TrainConfig()
-cfg.raster = RasterConfig(tile_h=8, tile_w=128, cap_instances=1 << 21,
+cfg.raster = RasterConfig(tile_h=8, tile_w=128, cap_instances=983040,
                           cap_tile=4096, chunk=32)
 cfg.gi = GIParams()
 rc = cfg.raster
@@ -128,3 +128,71 @@ if which in ("all", "parts"):
         l1 = image_utils.l1_loss(img, gt)
         return (1.0 - 0.2) * l1 + 0.2 * (1.0 - image_utils.ssim(img, gt))
     timeit("l1+ssim fwd+bwd", lambda x: jax.grad(loss_only)(x), image)
+
+if which in ("all", "lossfn", "parts"):
+    # Full phase-1 loss_fn fwd+bwd (no optimizer/densify) — isolates the
+    # render+loss graph from the schedule updates.
+    from gi_gs_tpu.train.optim import trainable_view
+    from gi_gs_tpu.train import losses
+    from gi_gs_tpu.train.trainer import _gt_image, _masked_l1
+    st = trainer.make_train_state(cfg, params, spatial_lr_scale=1.0)
+
+    def full_loss_grad(view, ndc_zeros):
+        def loss_fn(view, ndc_zeros):
+            pp = st.params.replace(**view)
+            res = render(cam, pp, bg, cfg.raster, cfg.gi,
+                         derive_normal=True, compute_occlusion=False,
+                         ndc_offset=ndc_zeros)
+            gt = _gt_image(image, alpha, bg)
+            l1 = image_utils.l1_loss(res["render"], gt)
+            loss = 0.8 * l1 + 0.2 * (1.0 - image_utils.ssim(res["render"], gt))
+            normal_loss = _masked_l1(res["normal_map"],
+                                     res["normal_map_from_depth"],
+                                     res["normal_from_depth_mask"])
+            loss = loss + normal_loss
+            loss = loss + cfg.train.normal_tv_weight * losses.tv_loss(
+                gt, res["normal_map"], pad=1, step=1)
+            return loss
+        return jax.value_and_grad(loss_fn, argnums=(0, 1))(view, ndc_zeros)
+
+    ndc = jnp.zeros((st.params.capacity, 2), jnp.float32)
+    if "full" in sys.argv[2:]:
+        timeit("phase1 loss_fn fwd+bwd", full_loss_grad,
+               trainable_view(st.params), ndc)
+
+    def make_grad(terms):
+        def loss_fn(view, ndc_zeros):
+            pp = st.params.replace(**view)
+            res = render(cam, pp, bg, cfg.raster, cfg.gi,
+                         derive_normal=True, compute_occlusion=False,
+                         ndc_offset=ndc_zeros)
+            gt = _gt_image(image, alpha, bg)
+            loss = image_utils.l1_loss(res["render"], gt)
+            if "ssim" in terms:
+                loss = loss + 0.2 * (1.0 - image_utils.ssim(res["render"], gt))
+            if "normal" in terms:
+                loss = loss + _masked_l1(res["normal_map"],
+                                         res["normal_map_from_depth"],
+                                         res["normal_from_depth_mask"])
+            if "tv" in terms:
+                loss = loss + cfg.train.normal_tv_weight * losses.tv_loss(
+                    gt, res["normal_map"], pad=1, step=1)
+            return loss
+        return lambda v, n: jax.value_and_grad(loss_fn, argnums=(0, 1))(v, n)
+
+    sel = sys.argv[2:] or ["ssim", "normal", "tv"]
+    for terms in [(t,) for t in sel]:
+        timeit(f"render+l1+{'+'.join(terms)} fwd+bwd", make_grad(terms),
+               trainable_view(st.params), ndc)
+
+    def render_l1_grad(view, ndc_zeros):
+        def loss_fn(view, ndc_zeros):
+            pp = st.params.replace(**view)
+            res = render(cam, pp, bg, cfg.raster, cfg.gi,
+                         derive_normal=True, compute_occlusion=False,
+                         ndc_offset=ndc_zeros)
+            return image_utils.l1_loss(res["render"], _gt_image(image, alpha, bg))
+        return jax.value_and_grad(loss_fn, argnums=(0, 1))(view, ndc_zeros)
+    if "l1only" in sys.argv[2:]:
+        timeit("render+l1-only fwd+bwd", render_l1_grad,
+               trainable_view(st.params), ndc)

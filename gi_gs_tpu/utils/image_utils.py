@@ -93,11 +93,30 @@ def _shift_stack_3x3(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(rows, axis=0)
 
 
+def _median9(p):
+    """Median of 9 same-shaped arrays via Paeth's 19-exchange min/max
+    network. Equivalent forward to sorting and taking element 4, but the
+    backward is plain selects instead of jnp.sort's permutation scatter
+    (~10x cheaper VJP at image scale; on exact ties the subgradient
+    routing can differ from a sort-based median, which is immaterial)."""
+    p = list(p)
+
+    def ex(i, j):
+        a, b = p[i], p[j]
+        p[i] = jnp.minimum(a, b)
+        p[j] = jnp.maximum(a, b)
+
+    for i, j in ((1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2),
+                 (4, 5), (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4),
+                 (2, 5), (4, 7), (4, 2), (6, 4), (4, 2)):
+        ex(i, j)
+    return p[4]
+
+
 def median_blur_3x3(img: jnp.ndarray) -> jnp.ndarray:
     """3x3 median filter of [C, H, W] (kornia.filters.median_blur)."""
     stack = _shift_stack_3x3(img)  # [9, C, H, W]
-    s = jnp.sort(stack, axis=0)
-    return s[4]
+    return _median9([stack[i] for i in range(9)])
 
 
 def bilateral_blur_3x3(img: jnp.ndarray, sigma_color: float = 1.0,
