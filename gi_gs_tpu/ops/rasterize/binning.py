@@ -9,14 +9,22 @@ instance list has a static capacity and we report overflow instead.
 
 Pipeline (all static shapes, no atomics):
   1. exclusive-scan `tiles_touched` -> per-Gaussian offsets,
-  2. ragged expansion via searchsorted: instance j belongs to Gaussian
-     g = searchsorted(cum_offsets, j), local slot -> (dy, dx) in its rect,
+  2. ragged expansion via a scatter of segment-start markers + cumsum:
+     instance j -> owning gaussian, local slot -> (dy, dx) in its rect,
   3. stable multi-key sort by (tile_id, depth) with lax.sort,
   4. tile ranges via searchsorted over the sorted tile ids.
 
 The original (pre-sort) instance order is gaussian-major, so per-Gaussian
 gradient reduction in the backward is a contiguous segment sum after
 unsorting — no scatter-adds anywhere (TPU has no fast atomics).
+
+Note on a rejected design (measured slower on v5e): pre-sorting the
+*gaussians* by depth makes instance emission depth-major, which reduces
+the instance sort to a single fused int32 key `tile << ceil(log2(cap)) |
+j` (no payload, no stability needed). The cheaper sort (-4 ms @1M rows)
+was outweighed by the N-row depth sort, the extra id gathers, and the
+final rank->gaussian permutation (+20 ms total). The `seg_gaussian` field
+(identity here) keeps the interface general for that family of layouts.
 """
 from __future__ import annotations
 
@@ -30,13 +38,14 @@ from .preprocess import Preprocessed
 
 
 class Binning(NamedTuple):
-    ids: jnp.ndarray         # [CAP] int32 gaussian index per sorted instance
+    ids: jnp.ndarray         # [CAP] int32 ORIGINAL gaussian index per sorted instance
     inst_tile: jnp.ndarray   # [CAP] int32 tile id per sorted instance (T = sentinel)
-    perm: jnp.ndarray        # [CAP] int32 original (gaussian-major) position
+    perm: jnp.ndarray        # [CAP] int32 pre-sort (gaussian-major) position
     inv_perm: jnp.ndarray    # [CAP] int32 inverse of perm
     tile_start: jnp.ndarray  # [T] int32 first sorted-instance row of each tile
     tile_count: jnp.ndarray  # [T] int32 instances in each tile (capped at cap_tile)
-    offsets: jnp.ndarray     # [N+1] int32 per-gaussian segment bounds (orig order)
+    offsets: jnp.ndarray     # [N+1] int32 per-gaussian segment bounds (segment order)
+    seg_gaussian: jnp.ndarray  # [N] int32 original gaussian of segment k, or None (identity)
     num_instances: jnp.ndarray  # [] int32 total emitted (pre-cap)
     overflow: jnp.ndarray    # [] int32 instances dropped by cap_instances
     max_tile_count: jnp.ndarray  # [] int32 max per-tile population (pre-cap)
@@ -108,6 +117,7 @@ def bin_and_sort(pre: Preprocessed, height: int, width: int,
         tile_start=tile_start,
         tile_count=tile_count,
         offsets=offsets.astype(jnp.int32),
+        seg_gaussian=None,  # segments are already in original gaussian order
         num_instances=total.astype(jnp.int32),
         overflow=jnp.maximum(total - cap, 0).astype(jnp.int32),
         max_tile_count=raw_count.max().astype(jnp.int32),
@@ -117,12 +127,18 @@ def bin_and_sort(pre: Preprocessed, height: int, width: int,
 def segment_sum_by_gaussian(per_instance: jnp.ndarray, binning: Binning,
                             num_gaussians: int) -> jnp.ndarray:
     """Reduce per-*sorted*-instance values [CAP, D] to per-Gaussian [N, D]
-    without scatter: unsort to gaussian-major order (gather via inv_perm),
-    then a contiguous segment reduction via prefix-sum differences.
+    (original gaussian order) without scatter-adds: unsort to the
+    depth-rank-major pre-sort order (gather via inv_perm), contiguous
+    segment reduction via prefix-sum differences, then one permutation
+    scatter back to original gaussian indices.
     """
-    orig = per_instance[binning.inv_perm]  # [CAP, D] gaussian-major
+    orig = per_instance[binning.inv_perm]  # [CAP, D] segment-major
     csum = jnp.cumsum(orig, axis=0, dtype=jnp.float32)
     csum = jnp.concatenate([jnp.zeros((1,) + csum.shape[1:], csum.dtype), csum], axis=0)
     lo = jnp.minimum(binning.offsets[:-1], per_instance.shape[0])
     hi = jnp.minimum(binning.offsets[1:], per_instance.shape[0])
-    return csum[hi] - csum[lo]
+    seg = csum[hi] - csum[lo]              # [N, D] segment order
+    if binning.seg_gaussian is None:
+        return seg
+    return jnp.zeros_like(seg).at[binning.seg_gaussian].set(
+        seg, unique_indices=True)

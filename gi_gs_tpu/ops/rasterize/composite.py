@@ -119,16 +119,17 @@ def _num_steps(tile_count, cfg):
         -(-tile_count.max() // cfg.chunk), cfg.chunks_per_tile).astype(jnp.int32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def composite(table, ids, tile_start, tile_count, inst_tile, inv_perm,
-              offsets, cfg: RasterConfig, grid: Tuple[int, int],
+              offsets, seg_gaussian, cfg: RasterConfig,
+              grid: Tuple[int, int],
               image_hw: Tuple[int, int], tile_base=None):
     """Blend sorted instances into per-tile accumulators.
 
     Args:
       table: [N, TABLE_DIM] packed per-Gaussian attributes (differentiable).
-      ids/tile_start/tile_count/inst_tile/inv_perm/offsets: binning
-        metadata (int32, non-differentiable).
+      ids/tile_start/tile_count/inst_tile/inv_perm/offsets/seg_gaussian:
+        binning metadata (int32, non-differentiable).
       cfg/grid/image_hw: static.
 
     Returns:
@@ -172,10 +173,11 @@ def _fwd_impl(table, ids, tile_start, tile_count, cfg, grid, tile_base=None):
 
 
 def _composite_fwd(table, ids, tile_start, tile_count, inst_tile, inv_perm,
-                   offsets, cfg, grid, image_hw, tile_base=None):
+                   offsets, seg_gaussian, cfg, grid, image_hw,
+                   tile_base=None):
     out = _fwd_impl(table, ids, tile_start, tile_count, cfg, grid, tile_base)
     res = (table, ids, tile_start, tile_count, inst_tile, inv_perm, offsets,
-           tile_base, out[0], out[1])
+           seg_gaussian, tile_base, out[0], out[1])
     return out, res
 
 
@@ -190,7 +192,7 @@ def _border_mask(grid, cfg, image_hw, tile_base=None, n_local=None):
 
 def _composite_bwd(cfg, grid, image_hw, res, cotangents):
     (table, ids, tile_start, tile_count, inst_tile, inv_perm, offsets,
-     tile_base, accum, final_t) = res
+     seg_gaussian, tile_base, accum, final_t) = res
     g_acc, g_t = cotangents
     T = tile_start.shape[0]
     P = cfg.pixels_per_tile
@@ -276,19 +278,21 @@ def _composite_bwd(cfg, grid, image_hw, res, cotangents):
     _, _, _, _, grads = jax.lax.while_loop(lambda s: s[0] < n_steps, body, init)
 
     d_table = _reduce_to_gaussians(grads, inst_tile, tile_start, tile_count,
-                                   inv_perm, offsets, table.shape[0], cfg,
-                                   grid, tile_base)
-    return (d_table, None, None, None, None, None, None, None)
+                                   inv_perm, offsets, seg_gaussian,
+                                   table.shape[0], cfg, grid, tile_base)
+    return (d_table, None, None, None, None, None, None, None, None)
 
 
 def _reduce_to_gaussians(grads, inst_tile, tile_start, tile_count, inv_perm,
-                         offsets, num_gaussians, cfg, grid, tile_base=None):
+                         offsets, seg_gaussian, num_gaussians, cfg, grid,
+                         tile_base=None):
     """[steps, T, K, D] chunk-grads -> per-Gaussian [N, D], scatter-free.
 
     Sorted instance s lives at (c, t, k) with t = inst_tile[s],
     j = s - tile_start[t], c = j // K, k = j % K. The pre-sort instance
-    order is gaussian-major, so after unsorting (one gather through
-    inv_perm) the per-Gaussian reduction is a prefix-sum difference.
+    order is depth-rank-major, so after unsorting (one gather through
+    inv_perm) the per-Gaussian reduction is a prefix-sum difference plus
+    a final permutation back to original gaussian order.
     """
     T = tile_start.shape[0]
     K = cfg.chunk
@@ -304,20 +308,25 @@ def _reduce_to_gaussians(grads, inst_tile, tile_start, tile_count, inv_perm,
     lin = jnp.clip(lin, 0, grads.shape[0] * T * K - 1)
     g_sorted = grads.reshape(-1, TABLE_DIM)[lin]
     g_sorted = jnp.where(in_tile[:, None], g_sorted, 0.0)
-    return reduce_sorted_instance_grads(g_sorted, inv_perm, offsets)
+    return reduce_sorted_instance_grads(g_sorted, inv_perm, offsets,
+                                        seg_gaussian)
 
 
-def reduce_sorted_instance_grads(g_sorted, inv_perm, offsets):
+def reduce_sorted_instance_grads(g_sorted, inv_perm, offsets, seg_gaussian):
     """[CAP, D] sorted-instance grads -> per-Gaussian [N, D]: unsort to the
-    gaussian-major pre-sort order (one gather) then contiguous segment
-    sums via prefix-sum differences. Shared by the jnp and Pallas paths."""
+    depth-rank-major pre-sort order (one gather), contiguous segment sums
+    via prefix-sum differences, then a permutation scatter back to the
+    original gaussian order. Shared by the jnp and Pallas paths."""
     cap, D = g_sorted.shape
-    g_orig = g_sorted[inv_perm]                                # gaussian-major
+    g_orig = g_sorted[inv_perm]                            # depth-rank-major
     csum = jnp.cumsum(g_orig, axis=0, dtype=jnp.float32)
     csum = jnp.concatenate([jnp.zeros((1, D), csum.dtype), csum], axis=0)
     lo = jnp.clip(offsets[:-1], 0, cap)
     hi = jnp.clip(offsets[1:], 0, cap)
-    return csum[hi] - csum[lo]
+    seg = csum[hi] - csum[lo]                       # [N, D] segment order
+    if seg_gaussian is None:
+        return seg
+    return jnp.zeros_like(seg).at[seg_gaussian].set(seg, unique_indices=True)
 
 
 composite.defvjp(_composite_fwd, _composite_bwd)

@@ -418,49 +418,60 @@ def _pack_instances(table, ids, chunk: int):
     return jnp.pad(table, ((0, 0), (0, ROW - TABLE_DIM)))[ids_p]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def composite_pallas(table, ids, tile_start, tile_count, inst_tile, inv_perm,
-                     offsets, cfg: RasterConfig, grid, image_hw):
+                     offsets, seg_gaussian, cfg: RasterConfig, grid,
+                     image_hw, tile_base=None):
     """Pallas-kernel version of composite.composite (same contract:
     returns (accum [T, CH, P], final_t [T, P]))."""
     inst = _pack_instances(table, ids, cfg.chunk)
     packed = composite_fwd_pallas(inst, tile_start, tile_count, cfg, grid,
-                                  interpret=_use_interpret())
+                                  interpret=_use_interpret(),
+                                  tile_base=tile_base)
     return packed[:, :NUM_CH], packed[:, FINAL_T_ROW]
 
 
 def _cp_fwd(table, ids, tile_start, tile_count, inst_tile, inv_perm, offsets,
-            cfg, grid, image_hw):
+            seg_gaussian, cfg, grid, image_hw, tile_base=None):
     inst = _pack_instances(table, ids, cfg.chunk)
     packed = composite_fwd_pallas(inst, tile_start, tile_count, cfg, grid,
-                                  interpret=_use_interpret())
-    res = (inst, tile_start, tile_count, inst_tile, inv_perm, offsets, packed)
+                                  interpret=_use_interpret(),
+                                  tile_base=tile_base)
+    res = (inst, tile_start, tile_count, inst_tile, inv_perm, offsets,
+           seg_gaussian, tile_base, packed)
     return (packed[:, :NUM_CH], packed[:, FINAL_T_ROW]), res
 
 
 def _cp_bwd(cfg, grid, image_hw, res, cots):
     from .composite import reduce_sorted_instance_grads
-    inst, tile_start, tile_count, inst_tile, inv_perm, offsets, packed = res
+    (inst, tile_start, tile_count, inst_tile, inv_perm, offsets,
+     seg_gaussian, tile_base, packed) = res
     g_acc, g_t = cots
-    T = grid[0] * grid[1]
+    T = tile_start.shape[0]
     P = cfg.pixels_per_tile
     cot_packed = jnp.concatenate([
         g_acc, g_t[:, None, :],
         jnp.zeros((T, CH_PAD - NUM_CH - 1, P), jnp.float32)], axis=1)
     rows = composite_bwd_pallas(inst, tile_start, tile_count, cot_packed,
                                 packed, cfg, grid, image_hw,
-                                interpret=_use_interpret())
+                                interpret=_use_interpret(),
+                                tile_base=tile_base)
     # The kernel only writes rows inside each tile's (possibly
     # cap_tile-truncated) range; everything else in the output buffer is
-    # uninitialised — mask before reducing.
+    # uninitialised — mask before reducing. inst_tile holds GLOBAL tile
+    # ids; this shard owns [tile_base, tile_base + T).
     cap = inst.shape[0] - cfg.chunk
     s = jnp.arange(cap, dtype=jnp.int32)
-    t = jnp.minimum(inst_tile, T - 1)
+    base = 0 if tile_base is None else tile_base
+    t_local = inst_tile - base
+    t = jnp.clip(t_local, 0, T - 1)
     j = s - tile_start[t]
-    written = (inst_tile < T) & (j >= 0) & (j < tile_count[t])
+    written = ((t_local >= 0) & (t_local < T) & (j >= 0) &
+               (j < tile_count[t]))
     rows = jnp.where(written[:, None], rows[:, :TABLE_DIM], 0.0)
-    d_table = reduce_sorted_instance_grads(rows, inv_perm, offsets)
-    return (d_table, None, None, None, None, None, None)
+    d_table = reduce_sorted_instance_grads(rows, inv_perm, offsets,
+                                           seg_gaussian)
+    return (d_table, None, None, None, None, None, None, None, None)
 
 
 composite_pallas.defvjp(_cp_fwd, _cp_bwd)

@@ -174,7 +174,7 @@ def rasterize(means3d: jnp.ndarray,
         comp = composite
     accum, final_t = comp(
         table, b.ids, b.tile_start, b.tile_count, b.inst_tile, b.inv_perm,
-        b.offsets, cfg, grid, (height, width))
+        b.offsets, b.seg_gaussian, cfg, grid, (height, width))
 
     img = _tiles_to_image(accum, grid, cfg, height, width)   # [CH, H, W]
     t_img = _tiles_to_image(final_t[:, None, :], grid, cfg, height, width)

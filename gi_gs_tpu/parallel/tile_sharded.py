@@ -40,7 +40,7 @@ def sharded_composite(mesh: Mesh, table, binning, cfg: RasterConfig,
     tile_count = jnp.pad(binning.tile_count, (0, pad))
 
     def local(table, tile_start_l, tile_count_l, ids, inst_tile, inv_perm,
-              offsets):
+              offsets, seg_gaussian):
         idx = jax.lax.axis_index(axis)
         t_local = tile_start_l.shape[0]
         base = (idx * t_local).astype(jnp.int32)
@@ -50,8 +50,8 @@ def sharded_composite(mesh: Mesh, table, binning, cfg: RasterConfig,
         else:
             comp = composite
         accum, final_t = comp(table, ids, tile_start_l, tile_count_l,
-                              inst_tile, inv_perm, offsets, cfg, grid,
-                              image_hw, base)
+                              inst_tile, inv_perm, offsets, seg_gaussian,
+                              cfg, grid, image_hw, base)
         # Reassemble the full tile axis on every chip; the AD transpose of
         # all_gather is a reduce-scatter over ICI.
         accum = jax.lax.all_gather(accum, axis, axis=0, tiled=True)
@@ -60,9 +60,10 @@ def sharded_composite(mesh: Mesh, table, binning, cfg: RasterConfig,
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(), P(), P(), P()),
+        in_specs=(P(), P(axis), P(axis), P(), P(), P(), P(), P()),
         out_specs=(P(), P()),
         check_rep=False)
     accum, final_t = fn(table, tile_start, tile_count, binning.ids,
-                        binning.inst_tile, binning.inv_perm, binning.offsets)
+                        binning.inst_tile, binning.inv_perm, binning.offsets,
+                        binning.seg_gaussian)
     return accum[:T], final_t[:T]

@@ -57,7 +57,7 @@ def test_pallas_backward_matches_jnp():
 
     def loss(comp, table):
         accum, final_t = comp(table, b.ids, b.tile_start, b.tile_count,
-                              b.inst_tile, b.inv_perm, b.offsets, CFG, grid,
+                              b.inst_tile, b.inv_perm, b.offsets, b.seg_gaussian, CFG, grid,
                               hw)
         return (accum * g_acc).sum() + (final_t * g_t).sum()
 

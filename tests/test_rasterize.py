@@ -123,7 +123,7 @@ def test_gradients_match_reference_semantics():
             metal, pre.depth[:, None], pre.pos_view], axis=1)
         grid = CFG.grid(h, w)
         accum, final_t = composite(table, b.ids, b.tile_start, b.tile_count,
-                                   b.inst_tile, b.inv_perm, b.offsets, CFG,
+                                   b.inst_tile, b.inv_perm, b.offsets, b.seg_gaussian, CFG,
                                    grid, (h, w))
         img = _tiles_to_image(accum, grid, CFG, h, w)
         t_img = _tiles_to_image(final_t[:, None, :], grid, CFG, h, w)[0]

@@ -37,7 +37,7 @@ def test_sharded_composite_matches_and_grads():
 
     def loss_single(tbl):
         a, t = composite(tbl, b.ids, b.tile_start, b.tile_count,
-                         b.inst_tile, b.inv_perm, b.offsets, CFG, grid,
+                         b.inst_tile, b.inv_perm, b.offsets, b.seg_gaussian, CFG, grid,
                          (h, w))
         return (a * g_acc).sum() + (t * g_t).sum()
 
