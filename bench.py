@@ -44,7 +44,7 @@ def main():
     cfg.model = ModelConfig(capacity=CAP)
     cfg.opt = OptimizationConfig(densify_from_iter=10**9)  # pure fwd+bwd cost
     cfg.train = TrainConfig()
-    cfg.raster = RasterConfig(tile_h=8, tile_w=128, cap_tile=4096, chunk=32)
+    cfg.raster = RasterConfig()  # library defaults (16x128 tiles)
     cfg.gi = GIParams()
 
     cam = make_camera(R=np.eye(3), T=np.zeros(3), fovx=0.8, fovy=0.8,

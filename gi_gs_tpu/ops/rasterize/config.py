@@ -13,10 +13,12 @@ import dataclasses
 class RasterConfig:
     """Rasterizer compile-time parameters.
 
-    tile_h x tile_w: pixel tile shape. (8, 128) matches the TPU VPU
-    register shape (8 sublanes x 128 lanes) so one tile is exactly one
-    native f32 vector — the CUDA reference uses 16x16 threads
-    (config.h:15-17); on TPU the tile IS the vector.
+    tile_h x tile_w: pixel tile shape — always a multiple of the native
+    (8, 128) f32 vector register. The CUDA reference uses 16x16 threads
+    (config.h:15-17); on TPU a taller (16, 128) tile measured fastest:
+    doubling tile area nearly halves the (gaussian, tile) instance count
+    (sort/pack/reduce traffic) for only ~16% more splat-pixel compute.
+    (32, 128) exceeds the 16 MB VMEM budget in the backward kernel.
 
     cap_instances: capacity of the (gaussian, tile) instance list — the
     analog of the CUDA `num_rendered` buffer, statically sized.
@@ -25,7 +27,7 @@ class RasterConfig:
     chunk: instances processed per compositing step; the weighted
     accumulation of a chunk is a [F, chunk] @ [chunk, P] matmul on the MXU.
     """
-    tile_h: int = 8
+    tile_h: int = 16
     tile_w: int = 128
     cap_instances: int = 1 << 21
     cap_tile: int = 4096
