@@ -80,17 +80,30 @@ def bin_and_sort(pre: Preprocessed, height: int, width: int,
     g_safe = jnp.minimum(g, n - 1)
     in_range = j < total
 
-    local = j - offsets[g_safe]  # slot within the gaussian's rect
-    rw = (pre.rect_max[g_safe, 0] - pre.rect_min[g_safe, 0])
+    # One packed row-gather instead of five scalar gathers (offset, rect
+    # bounds, depth): TPU gathers fetch >= a lane-row per index anyway, so
+    # batching the per-gaussian scalars into one [N, 8] table costs the
+    # same bytes once instead of five times.
+    aux = jnp.stack([
+        offsets[:-1].astype(jnp.int32),
+        pre.rect_min[:, 0], pre.rect_min[:, 1], pre.rect_max[:, 0],
+        jax.lax.bitcast_convert_type(pre.depth, jnp.int32),
+    ], axis=1)                                        # [N, 5]
+    arow = aux[g_safe]                                # [cap, 5]
+
+    local = j - arow[:, 0]  # slot within the gaussian's rect
+    rw = arow[:, 3] - arow[:, 1]
     rw_safe = jnp.maximum(rw, 1)
     dy = local // rw_safe
     dx = local - dy * rw_safe
-    tx = pre.rect_min[g_safe, 0] + dx
-    tile_y = pre.rect_min[g_safe, 1] + dy
+    tx = arow[:, 1] + dx
+    tile_y = arow[:, 2] + dy
     tile = tile_y * tx_tiles + tx
     tile = jnp.where(in_range, tile, num_tiles)  # sentinel bucket sorts last
 
-    depth = jnp.where(in_range, pre.depth[g_safe], jnp.inf)
+    depth = jnp.where(
+        in_range, jax.lax.bitcast_convert_type(arow[:, 4], jnp.float32),
+        jnp.inf)
 
     # Stable two-key sort (tile asc, depth asc) carrying only the original
     # gaussian-major position; gaussian ids are re-derived by one gather
