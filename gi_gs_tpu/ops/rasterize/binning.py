@@ -80,16 +80,20 @@ def bin_and_sort(pre: Preprocessed, height: int, width: int,
     g_safe = jnp.minimum(g, n - 1)
     in_range = j < total
 
-    # One packed row-gather instead of five scalar gathers (offset, rect
-    # bounds, depth): TPU gathers fetch >= a lane-row per index anyway, so
-    # batching the per-gaussian scalars into one [N, 8] table costs the
-    # same bytes once instead of five times.
+    # One packed row-gather instead of scalar gathers (offset, rect
+    # bounds, depth, mean/conic/opacity for the tile cull): TPU gathers
+    # fetch >= a lane-row per index anyway, so batching the per-gaussian
+    # scalars into one table costs the same bytes once instead of N times.
+    f2i = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)
     aux = jnp.stack([
         offsets[:-1].astype(jnp.int32),
         pre.rect_min[:, 0], pre.rect_min[:, 1], pre.rect_max[:, 0],
-        jax.lax.bitcast_convert_type(pre.depth, jnp.int32),
-    ], axis=1)                                        # [N, 5]
-    arow = aux[g_safe]                                # [cap, 5]
+        f2i(pre.depth),
+        f2i(pre.means2d[:, 0]), f2i(pre.means2d[:, 1]),
+        f2i(pre.conic[:, 0]), f2i(pre.conic[:, 1]), f2i(pre.conic[:, 2]),
+        f2i(pre.opacity),
+    ], axis=1)                                        # [N, 11]
+    arow = aux[g_safe]                                # [cap, 11]
 
     local = j - arow[:, 0]  # slot within the gaussian's rect
     rw = arow[:, 3] - arow[:, 1]
@@ -99,22 +103,60 @@ def bin_and_sort(pre: Preprocessed, height: int, width: int,
     tx = arow[:, 1] + dx
     tile_y = arow[:, 2] + dy
     tile = tile_y * tx_tiles + tx
-    tile = jnp.where(in_range, tile, num_tiles)  # sentinel bucket sorts last
+
+    # Exact tile cull: drop the instance when max alpha over the tile's
+    # pixel rect is below alpha_min — the per-pixel pass test
+    # (forward.cu:537-541) then rejects it at every pixel, so the
+    # composited output is identical; only the per-tile instance lists
+    # shrink. The max of the (concave, conic-PSD) log-alpha over the box
+    # is attained on one of the two faces nearest the mean: optimize
+    # both 1-D restrictions in closed form and take the max.
+    i2f = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)
+    mx, my = i2f(arow[:, 5]), i2f(arow[:, 6])
+    cxx, cxy, cyy = i2f(arow[:, 7]), i2f(arow[:, 8]), i2f(arow[:, 9])
+    op = i2f(arow[:, 10])
+    # d = mean - pixel; pixel ranges over the tile rect.
+    x0 = (tx * cfg.tile_w).astype(jnp.float32)
+    y0 = (tile_y * cfg.tile_h).astype(jnp.float32)
+    a0, a1 = mx - (x0 + cfg.tile_w - 1), mx - x0
+    b0, b1 = my - (y0 + cfg.tile_h - 1), my - y0
+    cxx_s = jnp.where(jnp.abs(cxx) > 1e-12, cxx, 1e-12)
+    cyy_s = jnp.where(jnp.abs(cyy) > 1e-12, cyy, 1e-12)
+
+    def power(dx_, dy_):
+        return -0.5 * (cxx * dx_ * dx_ + cyy * dy_ * dy_) - cxy * dx_ * dy_
+
+    # Max of the concave quadratic over the box: interior optimum (0) if
+    # the mean lies inside, else on one of the four faces; each 1-D face
+    # restriction maximizes in closed form.
+    def face_x(dx_):
+        return power(dx_, jnp.clip(-cxy * dx_ / cyy_s, b0, b1))
+
+    def face_y(dy_):
+        return power(jnp.clip(-cxy * dy_ / cxx_s, a0, a1), dy_)
+
+    fmax = jnp.maximum(jnp.maximum(face_x(a0), face_x(a1)),
+                       jnp.maximum(face_y(b0), face_y(b1)))
+    inside = (a0 <= 0) & (0 <= a1) & (b0 <= 0) & (0 <= b1)
+    fmax = jnp.where(inside, 0.0, fmax)
+    psd = (cxx > 0) & (cyy > 0) & (cxx * cyy - cxy * cxy > 0)
+    keep = ~psd | (op * jnp.exp(fmax) >= cfg.alpha_min)
+
+    tile = jnp.where(in_range & keep, tile, num_tiles)  # sentinel sorts last
 
     depth = jnp.where(
-        in_range, jax.lax.bitcast_convert_type(arow[:, 4], jnp.float32),
-        jnp.inf)
+        in_range, i2f(arow[:, 4]), jnp.inf)
 
-    # Stable two-key sort (tile asc, depth asc) carrying only the original
-    # gaussian-major position; gaussian ids are re-derived by one gather
-    # (fewer operands = less data movement through the TPU sort).
-    sorted_tile, _, perm = jax.lax.sort(
-        (tile, depth, j), num_keys=2, is_stable=True)
-    ids = g_safe[perm]
+    # Stable two-key sort (tile asc, depth asc) carrying the original
+    # gaussian-major position AND the gaussian id (a payload column costs
+    # ~nothing through the TPU sort; re-deriving ids by gather costs 7 ms
+    # at 640k rows).
+    sorted_tile, _, perm, ids = jax.lax.sort(
+        (tile, depth, j, g_safe), num_keys=2, is_stable=True)
 
-    inv_perm = jnp.zeros((cap,), jnp.int32).at[perm].set(
-        jnp.arange(cap, dtype=jnp.int32), unique_indices=True,
-        indices_are_sorted=False)
+    # Inverse permutation via a second (cheap, single-key) sort — faster
+    # than a scatter on TPU.
+    _, inv_perm = jax.lax.sort((perm, j), num_keys=1, is_stable=False)
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)

@@ -13,25 +13,29 @@ import dataclasses
 class RasterConfig:
     """Rasterizer compile-time parameters.
 
-    tile_h x tile_w: pixel tile shape — always a multiple of the native
-    (8, 128) f32 vector register. The CUDA reference uses 16x16 threads
-    (config.h:15-17); on TPU a taller (16, 128) tile measured fastest:
-    doubling tile area nearly halves the (gaussian, tile) instance count
-    (sort/pack/reduce traffic) for only ~16% more splat-pixel compute.
-    (32, 128) exceeds the 16 MB VMEM budget in the backward kernel.
+    tile_h x tile_w: pixel tile shape — tile_h * tile_w must be a
+    multiple of 128 (the f32 lane count). The CUDA reference uses 16x16
+    threads (config.h:15-17); on TPU (16, 64) measured fastest at lego
+    scale: small tiles waste less splat-pixel compute (a median splat
+    covers ~3 px), big tiles shrink the (gaussian, tile) instance list
+    (sort/pack/reduce traffic); v5e measurements put the optimum
+    between (16, 64) and (16, 32). (16, 128) with chunk 64 exceeds the
+    16 MB VMEM budget in the backward kernel.
 
     cap_instances: capacity of the (gaussian, tile) instance list — the
     analog of the CUDA `num_rendered` buffer, statically sized.
     cap_tile: max instances composited per tile (front-to-back order;
     instances beyond this are dropped — they are the most occluded ones).
     chunk: instances processed per compositing step; the weighted
-    accumulation of a chunk is a [F, chunk] @ [chunk, P] matmul on the MXU.
+    accumulation of a chunk is a [F, chunk] @ [chunk, P] matmul on the
+    MXU, and each chunk step costs one HBM->VMEM DMA round — large
+    chunks amortize the per-step latency (the forward is latency-bound).
     """
     tile_h: int = 16
-    tile_w: int = 128
+    tile_w: int = 64
     cap_instances: int = 1 << 21
     cap_tile: int = 4096
-    chunk: int = 32
+    chunk: int = 64
     # Pallas kernel path for the compositing fwd/bwd (interpret mode is
     # selected automatically on CPU). The jnp path remains the oracle.
     use_pallas: bool = True

@@ -243,6 +243,10 @@ def _bwd_kernel(tile_start, tile_count, meta_ref, inst_hbm, cot_ref,
     gt = cot_ref[0, FINAL_T_ROW:FINAL_T_ROW + 1]         # [1, P]
     a_tot = fwd_ref[0, :_COUPLED]                        # [4, P]
     tfin = fwd_ref[0, FINAL_T_ROW:FINAL_T_ROW + 1]       # [1, P]
+    gc = g[:_COUPLED]                                    # [4, P]
+    # Per-tile constant of the collapsed alpha-gradient (see body):
+    # gA[p] = sum_ch g[ch, p] * a_tot[ch, p].
+    gA = jnp.sum(gc * a_tot, axis=0, keepdims=True)      # [1, P]
 
     n_chunks = (count + K - 1) // K
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
@@ -252,19 +256,23 @@ def _bwd_kernel(tile_start, tile_count, meta_ref, inst_hbm, cot_ref,
         return pltpu.make_async_copy(inst_hbm.at[pl.ds(off, K)],
                                      inst_vmem.at[slot], sem_in.at[slot])
 
+    def dma_out(c, slot):
+        off = start + c * K
+        return pltpu.make_async_copy(grow_vmem.at[slot],
+                                     grads_hbm.at[pl.ds(off, K)],
+                                     sem_out.at[slot])
+
     @pl.when(n_chunks > 0)
     def _():
         dma_in(0, 0).start()
 
     def body(state):
-        c, t_cur, done, p0, p1, p2, p3 = state
-        prefix = (p0, p1, p2, p3)
+        c, t_cur, done, gprefix = state
         slot = jax.lax.rem(c, 2)
         @pl.when(c + 1 < n_chunks)
         def _():
             dma_in(c + 1, 1 - slot).start()
         dma_in(c, slot).wait()
-        off = start + c * K
         inst = inst_vmem[slot]
         valid = (c * K + row_idx) < count
         a, pass_mask, G, dx, dy = _chunk_alpha(inst, valid, px, py, cfg)
@@ -280,40 +288,59 @@ def _bwd_kernel(tile_start, tile_count, meta_ref, inst_hbm, cot_ref,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
 
+        # Alpha gradient, all 4 coupled channels collapsed into ONE
+        # cumsum: with gF[k,p] = sum_ch F[ch,k] g[ch,p] (an MXU matmul),
+        #   d_alpha = sum_ch g_ch (f_ch t_prev - suffix_ch / (1-a))
+        #           = t_prev gF - recip (gA - gprefix - cumsum_k(w gF))
+        # because the channel sum commutes with the running prefix sum
+        # (suffix_ch = a_tot_ch - prefix_incl_ch, backward.cu:570-594).
+        F = jnp.concatenate([inst[:, 6:9],
+                             jnp.ones((K, 1), jnp.float32)], axis=1)  # [K,4]
+        gF = jax.lax.dot_general(
+            F, gc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)         # [K, P]
+        wgF = w * gF
+        S = gprefix + _cumsum_sublanes(wgF, K)           # [K, P]
         one_minus = jnp.where(contrib, 1.0 - a, 1.0)
-        d_alpha = gt * (-tfin / one_minus)
-        new_prefix = []
-        for ch in range(_COUPLED):
-            fch = _coupled_feature(inst, ch)
-            wf = w * fch
-            incl = prefix[ch] + _cumsum_sublanes(wf, K)
-            suffix = a_tot[ch:ch + 1] - incl
-            d_alpha = d_alpha + g[ch:ch + 1] * (
-                fch * t_prev - suffix / one_minus)
-            new_prefix.append(prefix[ch] + jnp.sum(wf, axis=0, keepdims=True))
+        recip = 1.0 / one_minus
+        d_alpha = t_prev * gF - recip * (gA - S) - gt * (tfin * recip)
         d_alpha = jnp.where(contrib, d_alpha, 0.0)
+        gprefix_new = S[K - 1:K]
 
         op = inst[:, 5:6]
         d_G = op * d_alpha                    # CUDA quirk: no clamp gating
-        dLdG_G = d_G * G
+        h = d_G * G                           # dL/dG * G
         cxx, cxy, cyy = inst[:, 2:3], inst[:, 3:4], inst[:, 4:5]
         d_op = jnp.sum(G * d_alpha, axis=1, keepdims=True)
-        d_mx = jnp.sum(dLdG_G * -(cxx * dx + cxy * dy), axis=1, keepdims=True)
-        d_my = jnp.sum(dLdG_G * -(cyy * dy + cxy * dx), axis=1, keepdims=True)
-        d_cxx = jnp.sum(dLdG_G * (-0.5 * dx * dx), axis=1, keepdims=True)
-        d_cxy = jnp.sum(dLdG_G * (-dx * dy), axis=1, keepdims=True)
-        d_cyy = jnp.sum(dLdG_G * (-0.5 * dy * dy), axis=1, keepdims=True)
+        # Geometry grads via moments of h: each is a polynomial in
+        # (dx, dy) with per-instance coefficients, so sum the monomial
+        # moments once and combine scalars outside the reduction.
+        hdx = h * dx
+        hdy = h * dy
+        m1x = jnp.sum(hdx, axis=1, keepdims=True)
+        m1y = jnp.sum(hdy, axis=1, keepdims=True)
+        m2xx = jnp.sum(hdx * dx, axis=1, keepdims=True)
+        m2xy = jnp.sum(hdx * dy, axis=1, keepdims=True)
+        m2yy = jnp.sum(hdy * dy, axis=1, keepdims=True)
+        d_mx = -(cxx * m1x + cxy * m1y)
+        d_my = -(cyy * m1y + cxy * m1x)
+        d_cxx = -0.5 * m2xx
+        d_cxy = -m2xy
+        d_cyy = -0.5 * m2yy
 
         g_row = jnp.concatenate([
             d_mx, d_my, d_cxx, d_cxy, d_cyy, d_op,
             dfeat[:, 0:3], dfeat[:, 4:16],
             jnp.zeros((K, ROW - TABLE_DIM), jnp.float32)], axis=1)
         g_row = jnp.where(valid, g_row, 0.0)
-        grow_vmem[...] = g_row
-        out = pltpu.make_async_copy(grow_vmem, grads_hbm.at[pl.ds(off, K)],
-                                    sem_out)
-        out.start()
-        out.wait()
+        # Double-buffered output: wait for the copy issued two chunks ago
+        # before overwriting its slot, then fire and forget.
+        @pl.when(c >= 2)
+        def _():
+            dma_out(c - 2, slot).wait()
+        grow_vmem[slot] = g_row
+        dma_out(c, slot).start()
 
         t_new = jnp.minimum(
             jnp.min(jnp.where(contrib, t_incl, jnp.inf), axis=0,
@@ -321,7 +348,7 @@ def _bwd_kernel(tile_start, tile_count, meta_ref, inst_hbm, cot_ref,
         done_new = jnp.maximum(
             done, jnp.max(jnp.where(pass_mask & (t_incl < cfg.t_min),
                                     1.0, 0.0), axis=0, keepdims=True))
-        return (c + 1, t_new, done_new) + tuple(new_prefix)
+        return c + 1, t_new, done_new, gprefix_new
 
     def cond(state):
         c, _, done = state[0], state[1], state[2]
@@ -330,22 +357,30 @@ def _bwd_kernel(tile_start, tile_count, meta_ref, inst_hbm, cot_ref,
     zero = jnp.zeros((1, P), jnp.float32)
     end_state = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(0), jnp.ones((1, P), jnp.float32),
-         zero, zero, zero, zero, zero))
+        (jnp.int32(0), jnp.ones((1, P), jnp.float32), zero, zero))
     c_end = end_state[0]
 
     @pl.when(c_end < n_chunks)
     def _():
         dma_in(c_end, jax.lax.rem(c_end, 2)).wait()
 
+    # Drain the up-to-two gradient-row copies still in flight.
+    @pl.when(c_end >= 2)
+    def _():
+        dma_out(c_end - 2, jax.lax.rem(c_end, 2)).wait()
+    @pl.when(c_end >= 1)
+    def _():
+        dma_out(c_end - 1, jax.lax.rem(c_end - 1, 2)).wait()
+
     # Early exit skipped the remaining chunks: their instances received no
     # contribution (all pixels saturated), so their gradient rows are
     # zero — but the HBM buffer is uninitialised; zero-fill the tail.
-    grow_vmem[...] = jnp.zeros((K, ROW), jnp.float32)
+    grow_vmem[0] = jnp.zeros((K, ROW), jnp.float32)
 
     def zfill(c, _):
         out = pltpu.make_async_copy(
-            grow_vmem, grads_hbm.at[pl.ds(start + c * K, K)], sem_out)
+            grow_vmem.at[0], grads_hbm.at[pl.ds(start + c * K, K)],
+            sem_out.at[0])
         out.start()
         out.wait()
         return 0
@@ -387,9 +422,9 @@ def composite_bwd_pallas(inst_table, tile_start, tile_count, cot_packed,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, K, ROW), jnp.float32),
-            pltpu.VMEM((K, ROW), jnp.float32),
+            pltpu.VMEM((2, K, ROW), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     grads = pl.pallas_call(

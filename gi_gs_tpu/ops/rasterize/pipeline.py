@@ -115,14 +115,15 @@ def compute_peak_depth_pos(table, binning, cfg: RasterConfig, grid,
 def count_instances(means3d: jnp.ndarray, cov3d: jnp.ndarray,
                     w2c: jnp.ndarray, full_proj: jnp.ndarray,
                     tanfovx, tanfovy, height: int, width: int,
-                    cfg: RasterConfig) -> jnp.ndarray:
+                    cfg: RasterConfig,
+                    opacity: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Exact (gaussian, tile) instance count for one view — the TPU analog
     of the reference's `num_rendered` device->host sync
     (rasterizer_impl.cu:589). Used host-side to pick the static
     `cap_instances` bucket (the framework re-jits on overflow instead of
     reallocating per frame)."""
     pre = preprocess(means3d, cov3d, w2c, full_proj, tanfovx, tanfovy,
-                     width, height, cfg)
+                     width, height, cfg, opacity=opacity)
     return pre.tiles_touched.sum().astype(jnp.int32)
 
 
@@ -156,7 +157,8 @@ def rasterize(means3d: jnp.ndarray,
     grid = cfg.grid(height, width)
 
     pre = preprocess(means3d, cov3d, w2c, full_proj, tanfovx, tanfovy,
-                     width, height, cfg, ndc_offset=ndc_offset)
+                     width, height, cfg, ndc_offset=ndc_offset,
+                     opacity=opacity)
 
     # Binning consumes integer/ordering decisions only — no gradients flow
     # through the sort keys (the CUDA binning is equally non-differentiable).

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .config import RasterConfig
@@ -26,6 +27,8 @@ class Preprocessed(NamedTuple):
     rect_min: jnp.ndarray   # [N, 2] int32 (tx, ty) inclusive
     rect_max: jnp.ndarray   # [N, 2] int32 (tx, ty) exclusive
     tiles_touched: jnp.ndarray  # [N] int32
+    opacity: jnp.ndarray    # [N] activated opacity (1.0 when not provided);
+                            # consumed by the binning tile-cull only
 
 
 def ndc2pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -87,12 +90,23 @@ def compute_cov2d(p_view: jnp.ndarray, cov3d: jnp.ndarray, w2c: jnp.ndarray,
 def preprocess(means3d: jnp.ndarray, cov3d: jnp.ndarray, w2c: jnp.ndarray,
                full_proj: jnp.ndarray, tanfovx, tanfovy,
                width: int, height: int, cfg: RasterConfig,
-               ndc_offset: jnp.ndarray | None = None) -> Preprocessed:
+               ndc_offset: jnp.ndarray | None = None,
+               opacity: jnp.ndarray | None = None) -> Preprocessed:
     """Project Gaussians and compute screen-space footprints.
 
     ndc_offset: optional [N, 2] zeros whose gradient reproduces the
     reference's `screenspace_points` viewspace gradient (NDC units,
     gaussian_renderer/__init__.py:53-60) for densification stats.
+
+    opacity: optional [N] or [N, 1] activated opacity. When given, the
+    tile rect uses the *effective* radius r_eff = sigma * sqrt(2 ln(op /
+    alpha_min)) instead of the reference's fixed 3 sigma
+    (auxiliary.h:46-56): beyond r_eff, alpha < 1/255 at every pixel, so
+    the per-pixel pass test (forward.cu:537-541) rejects the splat and
+    the composited output is bit-identical — the binning/compositing
+    load just shrinks (a lot, for low-opacity splats). The *reported*
+    radius stays the reference's ceil(3 sigma) so visibility and
+    densification statistics match exactly.
     """
     fx = width / (2.0 * tanfovx)
     fy = height / (2.0 * tanfovy)
@@ -126,8 +140,20 @@ def preprocess(means3d: jnp.ndarray, cov3d: jnp.ndarray, w2c: jnp.ndarray,
     lambda1 = mid + disc
     # max eigenvalue can be negative for culled garbage rows; clamp keeps
     # forward (and thus backward residuals) NaN-free.
-    radius_f = jnp.ceil(3.0 * jnp.sqrt(
-        jnp.maximum(jnp.maximum(lambda1, mid - disc), 1e-8)))
+    sigma = jnp.sqrt(jnp.maximum(jnp.maximum(lambda1, mid - disc), 1e-8))
+    radius_f = jnp.ceil(3.0 * sigma)
+
+    if opacity is None:
+        op = jnp.ones(means3d.shape[0], jnp.float32)
+    else:
+        op = jax.lax.stop_gradient(jnp.reshape(opacity, (-1,)))
+    # Effective cutoff: op * exp(-r^2 / (2 sigma^2)) < alpha_min beyond
+    # s * sigma with s = sqrt(2 ln(op / alpha_min)); the reference's 3
+    # sigma corresponds to op = 1 (s = 3.33, capped to 3 like CUDA).
+    s_cut = jnp.sqrt(2.0 * jnp.log(
+        jnp.maximum(op, cfg.alpha_min) / cfg.alpha_min))
+    s_cut = jnp.where(op < cfg.alpha_min, 0.0, jnp.minimum(s_cut, 3.0))
+    radius_cut = jnp.ceil(s_cut * sigma)
 
     px = ndc2pix(p_proj[:, 0], width)
     py = ndc2pix(p_proj[:, 1], height)
@@ -139,16 +165,50 @@ def preprocess(means3d: jnp.ndarray, cov3d: jnp.ndarray, w2c: jnp.ndarray,
     means2d = jnp.stack([px, py], axis=-1)
 
     # getRect (auxiliary.h:46-56), with our tile shape.
-    r = radius_f
-    rect_min_x = jnp.clip((px - r) / cfg.tile_w, 0, tx_tiles).astype(jnp.int32)
-    rect_min_y = jnp.clip((py - r) / cfg.tile_h, 0, ty_tiles).astype(jnp.int32)
-    rect_max_x = jnp.clip((px + r + cfg.tile_w - 1) / cfg.tile_w, 0, tx_tiles).astype(jnp.int32)
-    rect_max_y = jnp.clip((py + r + cfg.tile_h - 1) / cfg.tile_h, 0, ty_tiles).astype(jnp.int32)
+    def rect_cuda(r):
+        """The reference formula: (p + r + B - 1) / B truncates the FLOAT
+        numerator, so for fractional p the exclusive bound can miss the
+        last covered pixel row — slack the 3-sigma radius absorbs. Kept
+        verbatim for coverage/visibility parity."""
+        rminx = jnp.clip((px - r) / cfg.tile_w, 0, tx_tiles).astype(jnp.int32)
+        rminy = jnp.clip((py - r) / cfg.tile_h, 0, ty_tiles).astype(jnp.int32)
+        rmaxx = jnp.clip((px + r + cfg.tile_w - 1) / cfg.tile_w, 0,
+                         tx_tiles).astype(jnp.int32)
+        rmaxy = jnp.clip((py + r + cfg.tile_h - 1) / cfg.tile_h, 0,
+                         ty_tiles).astype(jnp.int32)
+        return rminx, rminy, rmaxx, rmaxy
 
-    area = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y)
+    def rect_exact(r):
+        """Exact pixel-coverage rect for a tight radius: the last integer
+        pixel <= p + r lives in tile floor(floor(p + r) / B)."""
+        rminx = jnp.clip((px - r) / cfg.tile_w, 0, tx_tiles).astype(jnp.int32)
+        rminy = jnp.clip((py - r) / cfg.tile_h, 0, ty_tiles).astype(jnp.int32)
+        rmaxx = jnp.clip(jnp.floor(px + r) // cfg.tile_w + 1, 0,
+                         tx_tiles).astype(jnp.int32)
+        rmaxy = jnp.clip(jnp.floor(py + r) // cfg.tile_h + 1, 0,
+                         ty_tiles).astype(jnp.int32)
+        return rminx, rminy, rmaxx, rmaxy
+
+    r3 = rect_cuda(radius_f)
+    rc_ = rect_exact(radius_cut)
+    # Emission rect = exact(r_eff) INTERSECT cuda(3 sigma): never wider
+    # than the reference's coverage (pixels outside its rect must not
+    # composite), never misses a pixel that can pass the alpha test.
+    rect_min_x = jnp.maximum(rc_[0], r3[0])
+    rect_min_y = jnp.maximum(rc_[1], r3[1])
+    rect_max_x = jnp.minimum(rc_[2], r3[2])
+    rect_max_y = jnp.minimum(rc_[3], r3[3])
+    area = (jnp.maximum(rect_max_x - rect_min_x, 0) *
+            jnp.maximum(rect_max_y - rect_min_y, 0))
+    area_ref = (r3[2] - r3[0]) * (r3[3] - r3[1])
+
+    # Reported radius/visibility use the reference's 3-sigma footprint so
+    # densification statistics are unchanged; instance emission uses the
+    # tighter opacity-aware rect.
+    valid_vis = in_front & det_ok & (area_ref > 0)
     valid = in_front & det_ok & (area > 0)
 
-    radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+    radius = jnp.where(valid_vis, radius_f, 0.0).astype(jnp.int32)
     tiles_touched = jnp.where(valid, area, 0).astype(jnp.int32)
 
     return Preprocessed(
@@ -161,4 +221,5 @@ def preprocess(means3d: jnp.ndarray, cov3d: jnp.ndarray, w2c: jnp.ndarray,
         rect_min=jnp.stack([rect_min_x, rect_min_y], axis=-1),
         rect_max=jnp.stack([rect_max_x, rect_max_y], axis=-1),
         tiles_touched=tiles_touched,
+        opacity=op,
     )

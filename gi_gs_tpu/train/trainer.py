@@ -76,11 +76,12 @@ def probe_cap_instances(cfg: Config, params: GaussianParams, cameras,
     rasterizer_impl.cu:582-592)."""
     from ..ops.rasterize.pipeline import bucket_cap_instances, count_instances
     cov3d = params.get_covariance(1.0)
+    opacity = params.get_opacity()
     worst = 0
     for cam in cameras[:max_views]:
         n = int(count_instances(params.xyz, cov3d, cam.w2c, cam.full_proj,
                                 cam.tanfovx, cam.tanfovy, cam.height,
-                                cam.width, cfg.raster))
+                                cam.width, cfg.raster, opacity=opacity))
         worst = max(worst, n)
     return bucket_cap_instances(worst)
 
