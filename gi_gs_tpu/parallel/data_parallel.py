@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..config import Config
 from ..renderer import render
@@ -100,7 +100,7 @@ def make_dp_phase1_step(cfg: Config, cameras_extent: float, tx, mesh: Mesh,
         local_step, mesh=mesh,
         in_specs=(rep, batch, batch, batch, rep, rep),
         out_specs=(rep, rep),
-        check_rep=False)
+        check_vma=False)
 
     return jax.jit(sharded, donate_argnums=(0,))
 

@@ -16,7 +16,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.rasterize import RasterConfig
 from ..ops.rasterize.binning import bin_and_sort
@@ -62,7 +62,7 @@ def sharded_composite(mesh: Mesh, table, binning, cfg: RasterConfig,
         local, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(), P(), P(), P(), P()),
         out_specs=(P(), P()),
-        check_rep=False)
+        check_vma=False)
     accum, final_t = fn(table, tile_start, tile_count, binning.ids,
                         binning.inst_tile, binning.inv_perm, binning.offsets,
                         binning.seg_gaussian)

@@ -77,13 +77,11 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.nda
 # ---------------------------------------------------------------------------
 
 def _shift_stack_3x3(img: jnp.ndarray) -> jnp.ndarray:
-    """[C, H, W] -> [9, C, H, W] of replicate-padded 3x3 neighbourhoods.
+    """[C, H, W] -> [9, C, H, W] of reflect-padded 3x3 neighbourhoods.
 
-    kornia uses reflect padding for median_blur/bilateral_blur; for 3x3 the
-    border behaviour differs only on the outermost ring — we use 'edge'
-    (replicate) padding which matches kornia's default `border_type=
-    'reflect'` everywhere except literal corner pixels. Documented
-    deviation; interior pixels are exact.
+    Matches kornia's default `border_type='reflect'` for
+    median_blur/bilateral_blur; for a 3x3 window only the outermost pixel
+    ring touches the padding at all, and reflect is exact there too.
     """
     p = jnp.pad(img, ((0, 0), (1, 1), (1, 1)), mode="reflect")
     rows = []
