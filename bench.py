@@ -67,11 +67,15 @@ def main():
     state, aux = step(state, cam, image, alpha, bg, jnp.int32(1))
     _ = float(aux.loss)
 
+    # Steps chain on `state`, so they execute sequentially on device; one
+    # fence after the loop measures true device throughput instead of
+    # adding a host<->TPU tunnel round-trip per iteration (training does
+    # not read the loss back every step).
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
         state, aux = step(state, cam, image, alpha, bg, jnp.int32(2 + i))
-        _ = float(aux.loss)
+    _ = float(aux.loss)
     dt = (time.perf_counter() - t0) / iters
 
     iters_per_s = 1.0 / dt

@@ -37,35 +37,50 @@ def psnr(img: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
 # same-padding conv, C1=0.01^2, C2=0.03^2)
 # ---------------------------------------------------------------------------
 
-def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+def _gaussian_1d(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     g = np.array(
         [math.exp(-((x - window_size // 2) ** 2) / (2 * sigma ** 2)) for x in range(window_size)],
         dtype=np.float32)
-    g = g / g.sum()
-    return np.outer(g, g)
+    return g / g.sum()
 
 
-def _same_conv2d(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise 'same' conv of [C, H, W] with [kh, kw] (zero padding)."""
+def _same_conv2d_separable(img: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise 'same' conv of [C, H, W] with the outer product g⊗g
+    (zero padding), as two rank-1 passes: the reference's 11x11 window
+    (utils/loss_utils.py:41-97) is a gaussian outer product, so the
+    separable form is exact and 11x cheaper per pixel."""
     C = img.shape[0]
-    kh, kw = kernel.shape
+    k = g.shape[0]
+    pad = k // 2
     lhs = img[None]  # [1, C, H, W]
-    rhs = jnp.broadcast_to(kernel[None, None], (C, 1, kh, kw))
+    rhs_h = jnp.broadcast_to(g[None, None, :, None], (C, 1, k, 1))
+    rhs_w = jnp.broadcast_to(g[None, None, None, :], (C, 1, 1, k))
     out = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1, 1), padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
+        lhs, rhs_h, window_strides=(1, 1), padding=((pad, pad), (0, 0)),
+        feature_group_count=C, dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    out = jax.lax.conv_general_dilated(
+        out, rhs_w, window_strides=(1, 1), padding=((0, 0), (pad, pad)),
         feature_group_count=C, dimension_numbers=("NCHW", "OIHW", "NCHW"))
     return out[0]
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
-    """Mean SSIM over [C, H, W] images in [0, 1]."""
-    window = jnp.asarray(_gaussian_window(window_size))
-    mu1 = _same_conv2d(img1, window)
-    mu2 = _same_conv2d(img2, window)
+    """Mean SSIM over [C, H, W] images in [0, 1].
+
+    All five window means (mu1, mu2, E[x^2], E[y^2], E[xy]) ride ONE
+    batched separable conv so XLA issues a single fused pair of conv ops
+    instead of five 2-D convs."""
+    g = jnp.asarray(_gaussian_1d(window_size))
+    stack = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=0)
+    C = img1.shape[0]
+    m = _same_conv2d_separable(stack, g)
+    mu1, mu2 = m[0:C], m[C:2 * C]
+    e11, e22, e12 = m[2 * C:3 * C], m[3 * C:4 * C], m[4 * C:5 * C]
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _same_conv2d(img1 * img1, window) - mu1_sq
-    sigma2_sq = _same_conv2d(img2 * img2, window) - mu2_sq
-    sigma12 = _same_conv2d(img1 * img2, window) - mu1_mu2
+    sigma1_sq = e11 - mu1_sq
+    sigma2_sq = e22 - mu2_sq
+    sigma12 = e12 - mu1_mu2
     C1, C2 = 0.01 ** 2, 0.03 ** 2
     ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
         (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2))
