@@ -28,13 +28,22 @@ import numpy as np
 
 
 class GIParams(NamedTuple):
-    """Screen-space GI knobs (train.py:850-855 defaults)."""
+    """Screen-space GI knobs (train.py:850-855 defaults).
+
+    backend selects the ray-march implementation (see pallas_gi.py):
+      "pallas"       — block-coherent Pallas kernel (fast; fetch offsets
+                       quantised per 8x128 pixel block, hit tests exact);
+      "pallas_exact" — offset-bucketed serve-loop Pallas kernel, exact
+                       CUDA semantics, data-adaptive cost;
+      "jnp"          — the XLA-gather oracle (exact, slowest on TPU).
+    """
     radius: float = 0.8
     bias: float = 0.01
     thick: float = 0.05
     delta: float = 0.0625
     step: int = 16
     start: int = 8
+    backend: str = "pallas"
 
 
 # ---------------------------------------------------------------------------
@@ -239,6 +248,10 @@ def ssao(normal_view: jnp.ndarray, pos: jnp.ndarray, fx, fy,
     """Screen-space ambient occlusion [1, H, W] (SSAOCUDA). No gradients
     (the reference runs it under no_grad). The direction grid is scanned
     in batches (one traced body) so the graph stays small."""
+    if p.backend.startswith("pallas"):
+        from . import pallas_gi
+        mode = "exact" if p.backend == "pallas_exact" else "coherent"
+        return pallas_gi.ssao_pallas(normal_view, pos, fx, fy, p, mode=mode)
     normal_view = jax.lax.stop_gradient(normal_view)
     pos = jax.lax.stop_gradient(pos)
     nrm = _unit3(normal_view)
@@ -283,6 +296,12 @@ def ssr(normal_view: jnp.ndarray, pos: jnp.ndarray, rgb: jnp.ndarray,
     reference gradient semantics: d(color)/d(albedo) = abd, all other
     gradients zero.
     """
+    if p.backend.startswith("pallas"):
+        from . import pallas_gi
+        mode = "exact" if p.backend == "pallas_exact" else "coherent"
+        return pallas_gi.ssr_pallas(normal_view, pos, rgb, albedo,
+                                    roughness, metallic, f0, fx, fy, p,
+                                    mode=mode)
     sg = jax.lax.stop_gradient
     normal_view, pos, rgb = sg(normal_view), sg(pos), sg(rgb)
     f0, roughness, metallic = sg(f0), sg(roughness), sg(metallic)

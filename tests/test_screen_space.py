@@ -8,7 +8,9 @@ import jax.numpy as jnp
 from gi_gs_tpu.ops import screen_space
 from gi_gs_tpu.ops.screen_space import GIParams, march_directions
 
-GI = GIParams(radius=0.8, bias=0.01, thick=0.05, delta=0.25, step=4, start=2)
+GI = GIParams(radius=0.8, bias=0.01, thick=0.05, delta=0.25, step=4, start=2,
+              backend="jnp")  # these tests pin the jnp oracle to the CUDA
+                              # loops; pallas-vs-oracle lives in test_pallas_gi
 
 
 def numpy_march_dirs(delta):
