@@ -301,38 +301,7 @@ def specular_cubemap(cubemap: jnp.ndarray, roughness: float,
         return out.reshape(cubemap.shape)
 
     h, src_idx, W = _patch_tables(R, float(roughness), float(cutoff))
-    P = 2 * h + 1
-    flat = cubemap.reshape(-1, 3)
-    padded = flat[src_idx.reshape(-1)].reshape(6, R + 2 * h, R + 2 * h, 3)
-    padded = padded.transpose(0, 3, 1, 2)  # [6, 3, R+2h, R+2h]
-
-    # Row-strip processing bounds the patch tensor to ~100MB (at 128^2 a
-    # full-face patch extraction would transiently need >1GB).
-    strip = max(1, min(R, (32 * 1024 * 1024) // max(1, 3 * P * P * R * 4)))
-    n_strips = -(-R // strip)
-
-    def do_strip(i):
-        rows = jax.lax.dynamic_slice(
-            padded, (0, 0, i * strip, 0),
-            (6, 3, strip + P - 1, R + 2 * h))
-        patches = jax.lax.conv_general_dilated_patches(
-            rows, (P, P), (1, 1), "VALID")  # [6, 3*P*P, strip, R]
-        patches = patches.reshape(6, 3, P * P, strip, R)
-        w_rows = jax.lax.dynamic_slice(W, (0, 0, i * strip, 0),
-                                       (6, P * P, strip, R))
-        return jnp.einsum("fpyx,fcpyx->fyxc", w_rows, patches,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-
-    if n_strips == 1:
-        return do_strip(0)
-    # Pad rows so every strip slice is full-size, then crop.
-    pad_rows = n_strips * strip - R
-    padded = jnp.pad(padded, ((0, 0), (0, 0), (0, pad_rows), (0, 0)))
-    W = jnp.pad(W, ((0, 0), (0, 0), (0, pad_rows), (0, 0)))
-    out = jax.lax.map(do_strip, jnp.arange(n_strips))
-    out = out.transpose(1, 0, 2, 3, 4).reshape(6, n_strips * strip, R, 3)
-    return out[:, :R]
+    return _specular_apply_patch(cubemap, src_idx, W, h)
 
 
 def _specular_apply_dense(cubemap: jnp.ndarray, M: jnp.ndarray) -> jnp.ndarray:
@@ -342,37 +311,71 @@ def _specular_apply_dense(cubemap: jnp.ndarray, M: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(cubemap.shape)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _specular_apply_patch(cubemap: jnp.ndarray, src_idx: jnp.ndarray,
                           W: jnp.ndarray, h: int) -> jnp.ndarray:
+    """Locally-connected halo filter as a fori accumulation of shifted
+    elementwise products: out[f,y,x] = sum_p W[f,p,y,x] * padded[f, y+dy,
+    x+dx] with p = dy*P+dx. One [6,R,R,3]-sized multiply-add per offset
+    keeps everything in fused VPU ops; the previous im2col
+    (conv_general_dilated_patches + einsum) materialised [6,3,P^2,y,x]
+    patch tensors that XLA lowered ~30x slower. Hand VJP: W/src_idx are
+    constant tables, so the backward is the transpose correlation into
+    the halo-padded layout followed by a segment-sum over the halo map —
+    without it JAX rewrites the fori_loop as a residual-saving scan."""
     R = cubemap.shape[1]
     P = 2 * h + 1
     flat = cubemap.reshape(-1, 3)
     padded = flat[src_idx.reshape(-1)].reshape(6, R + 2 * h, R + 2 * h, 3)
-    padded = padded.transpose(0, 3, 1, 2)
-    strip = max(1, min(R, (32 * 1024 * 1024) // max(1, 3 * P * P * R * 4)))
-    n_strips = -(-R // strip)
 
-    def do_strip(i, W_arr, padded_arr):
-        rows = jax.lax.dynamic_slice(
-            padded_arr, (0, 0, i * strip, 0), (6, 3, strip + P - 1, R + 2 * h))
-        patches = jax.lax.conv_general_dilated_patches(
-            rows, (P, P), (1, 1), "VALID")
-        patches = patches.reshape(6, 3, P * P, strip, R)
-        w_rows = jax.lax.dynamic_slice(W_arr, (0, 0, i * strip, 0),
-                                       (6, P * P, strip, R))
-        return jnp.einsum("fpyx,fcpyx->fyxc", w_rows, patches,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+    def body(p, acc):
+        dy = p // P
+        dx = p - dy * P
+        win = jax.lax.dynamic_slice(padded, (0, dy, dx, 0), (6, R, R, 3))
+        wp = jax.lax.dynamic_slice(W, (0, p, 0, 0), (6, 1, R, R))
+        return acc + win * wp.transpose(0, 2, 3, 1)
 
-    if n_strips == 1:
-        return do_strip(0, W, padded)
-    pad_rows = n_strips * strip - R
-    padded = jnp.pad(padded, ((0, 0), (0, 0), (0, pad_rows), (0, 0)))
-    W = jnp.pad(W, ((0, 0), (0, 0), (0, pad_rows), (0, 0)))
-    out = jax.lax.map(lambda i: do_strip(i, W, padded),
-                      jnp.arange(n_strips))
-    out = out.transpose(1, 0, 2, 3, 4).reshape(6, n_strips * strip, R, 3)
-    return out[:, :R]
+    return jax.lax.fori_loop(0, P * P, body,
+                             jnp.zeros((6, R, R, 3), jnp.float32))
+
+
+def _sap_fwd(cubemap, src_idx, W, h):
+    return _specular_apply_patch(cubemap, src_idx, W, h), \
+        (cubemap.shape, src_idx, W)
+
+
+def _sap_bwd(h, res, g):
+    shape, src_idx, W = res
+    R = shape[1]
+    P = 2 * h + 1
+
+    def body(p, acc):
+        dy = p // P
+        dx = p - dy * P
+        wp = jax.lax.dynamic_slice(W, (0, p, 0, 0), (6, 1, R, R))
+        contrib = g * wp.transpose(0, 2, 3, 1)
+        cur = jax.lax.dynamic_slice(acc, (0, dy, dx, 0), (6, R, R, 3))
+        return jax.lax.dynamic_update_slice(acc, cur + contrib,
+                                            (0, dy, dx, 0))
+
+    padded_bar = jax.lax.fori_loop(
+        0, P * P, body, jnp.zeros((6, R + 2 * h, R + 2 * h, 3), jnp.float32))
+    # The halo map is the identity on each face's interior (an extended
+    # position that IS a real texel resolves to itself), so only the 2h
+    # border ring needs the scatter — ~3-4x fewer scattered rows.
+    core = padded_bar[:, h:h + R, h:h + R, :].reshape(-1, 3)
+    E = R + 2 * h
+    ey, ex = np.meshgrid(np.arange(E), np.arange(E), indexing="ij")
+    border = ((ey < h) | (ey >= h + R) | (ex < h) | (ex >= h + R)).reshape(-1)
+    bpos = jnp.asarray(np.nonzero(np.tile(border, 6))[0].astype(np.int32))
+    bsrc = src_idx.reshape(-1)[bpos]
+    bvals = padded_bar.reshape(-1, 3)[bpos]
+    flat_bar = core + jax.ops.segment_sum(bvals, bsrc,
+                                          num_segments=6 * R * R)
+    return flat_bar.reshape(shape), None, None
+
+
+_specular_apply_patch.defvjp(_sap_fwd, _sap_bwd)
 
 
 def build_prefilter_tables(base_res: int, min_res: int = 16,

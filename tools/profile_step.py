@@ -41,7 +41,7 @@ params = create_from_points(pts, colors, capacity=CAP)
 cfg = Config()
 cfg.model = ModelConfig(capacity=CAP)
 cfg.opt = OptimizationConfig(densify_from_iter=10**9)
-cfg.train = TrainConfig()
+cfg.train = TrainConfig(indirect=('step2' in sys.argv))
 cfg.raster = RasterConfig()
 cfg.gi = GIParams()
 
