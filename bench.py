@@ -20,9 +20,35 @@ carries:
 """
 import dataclasses
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.time()
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: the bench compiles ~10 programs
+    (both phase steps + the stage table); cold that is >10 min wall,
+    cached it is seconds. The cache key covers HLO + compile flags +
+    runtime version, so entries invalidate themselves when the code or
+    toolchain changes."""
+    import jax
+    cache_dir = os.environ.get(
+        "GI_GS_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 H = W = 800
 N = 200_000
@@ -201,24 +227,36 @@ def tpu_parity(cfg, rng):
 
 
 def main():
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
     from gi_gs_tpu.train import trainer
     from gi_gs_tpu.train.optim import build_optimizer, build_light_optimizer
 
+    _log(f"devices: {jax.devices()}")
     cfg, params, cam, image, alpha, bg, rng = build_scene()
+    _log("scene built")
     state = trainer.make_train_state(cfg, params, spatial_lr_scale=1.0)
     tx = build_optimizer(cfg.opt, 1.0)
     ltx = build_light_optimizer(cfg.opt)
 
+    # Stage table + parity run FIRST: the phase steps donate their input
+    # state (trainer.py donate_argnums=(0,)), and `params` aliases the
+    # buffers inside it — using them after a donating call raises "Array
+    # has been deleted" (the round-2 driver-bench failure).
+    stages, n_inst = stage_table(cfg, params, cam, rng)
+    _log("stage table done")
+    parity = tpu_parity(cfg, rng)
+    _log("tpu parity done")
+
     step1 = trainer.make_phase1_step(cfg, cameras_extent=3.0, tx=tx)
-    dt1, loss1 = time_steps(step1, state, cam, image, alpha, bg)
+    dt1, loss1 = time_steps(step1, jax.tree.map(jnp.copy, state),
+                            cam, image, alpha, bg)
+    _log(f"phase1 {1.0 / dt1:.2f} it/s")
 
     step2 = trainer.make_phase2_step(cfg, cameras_extent=3.0, tx=tx, ltx=ltx)
     dt2, loss2 = time_steps(step2, state, cam, image, alpha, bg, iters=5)
-
-    stages, n_inst = stage_table(cfg, params, cam, rng)
-    parity = tpu_parity(cfg, rng)
+    _log(f"phase2 {1.0 / dt2:.2f} it/s")
 
     gi_ms = stages["ssao"]["ms"] + stages["ssr"]["ms"]
     result = {

@@ -124,7 +124,8 @@ def main(argv=None):
     step_cache: Dict = {}
 
     def get_step(phase2: bool):
-        key = ("p2" if phase2 else "p1", cfg.raster.cap_instances)
+        key = ("p2" if phase2 else "p1", cfg.raster.cap_instances,
+               cfg.raster.cap_tile)
         if key not in step_cache:
             if phase2:
                 step_cache[key] = trainer_mod.make_phase2_step(
@@ -143,6 +144,18 @@ def main(argv=None):
         cfg.raster = dataclasses.replace(cfg.raster, cap_instances=new_cap)
         print(f"instance capacity bucket -> {new_cap} "
               f"(overflowed by {overflow})", flush=True)
+
+    def grow_cap_tile(max_tile_count: int):
+        """Per-tile compositing depth outgrew cap_tile: instances past the
+        cap are the most-occluded ones but may still be visible
+        (binning.py tile_count clamp) — grow and re-jit instead of
+        silently truncating."""
+        ch = cfg.raster.chunk
+        want = int(max_tile_count * 1.3)
+        new_cap = -(-want // ch) * ch  # cap_tile must stay chunk-aligned
+        cfg.raster = dataclasses.replace(cfg.raster, cap_tile=new_cap)
+        print(f"tile depth capacity -> {new_cap} "
+              f"(max per-tile population {max_tile_count})", flush=True)
 
     train_recs = scene.train_cameras
     cams = [r.camera() for r in train_recs]
@@ -176,6 +189,9 @@ def main(argv=None):
             overflow = int(aux.overflow)
             if overflow > 0:
                 grow_capacity(overflow)
+            mtc = int(aux.max_tile_count)
+            if mtc > cfg.raster.cap_tile:
+                grow_cap_tile(mtc)
             now = time.time()
             ips = 100.0 / max(now - t_report, 1e-9)
             t_report = now

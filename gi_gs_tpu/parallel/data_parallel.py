@@ -56,7 +56,8 @@ def make_dp_phase1_step(cfg: Config, cameras_extent: float, tx, mesh: Mesh,
             gt, res["normal_map"])
         aux = {"l1": l1, "normal_loss": normal_loss,
                "visibility": res["visibility_filter"], "radii": res["radii"],
-               "render": res["render"], "gt": gt, "overflow": res["overflow"]}
+               "render": res["render"], "gt": gt, "overflow": res["overflow"],
+               "max_tile_count": res["max_tile_count"]}
         return loss, aux
 
     def local_step(state: TrainState, cam_batch, images, alphas, bg, iteration):
@@ -91,7 +92,9 @@ def make_dp_phase1_step(cfg: Config, cameras_extent: float, tx, mesh: Mesh,
         return new_state, StepAux(loss, jax.lax.pmean(aux["l1"].mean(), axis),
                                   jax.lax.pmean(aux["normal_loss"].mean(), axis),
                                   psnr, dropped,
-                                  jax.lax.pmax(aux_red["overflow"], axis))
+                                  jax.lax.pmax(aux_red["overflow"], axis),
+                                  jax.lax.pmax(aux["max_tile_count"].max(),
+                                               axis))
 
     rep = P()
     batch = P(axis)

@@ -50,6 +50,10 @@ class StepAux(NamedTuple):
     psnr: jnp.ndarray
     densify_dropped: jnp.ndarray
     overflow: jnp.ndarray
+    # Pre-cap per-tile instance maximum (diagnostic): > cfg.raster.cap_tile
+    # means the most-occluded instances of some tile were silently dropped
+    # (binning.py tile_count clamp) — the CLI grows cap_tile and re-jits.
+    max_tile_count: jnp.ndarray
 
 
 def make_train_state(cfg: Config, params: GaussianParams,
@@ -176,7 +180,8 @@ def make_phase1_step(cfg: Config, cameras_extent: float, tx):
             aux = {"l1": l1, "normal_loss": normal_loss,
                    "render": res["render"], "gt": gt,
                    "visibility": res["visibility_filter"],
-                   "radii": res["radii"], "overflow": res["overflow"]}
+                   "radii": res["radii"], "overflow": res["overflow"],
+                   "max_tile_count": res["max_tile_count"]}
             return loss, aux
 
         ndc_zeros = jnp.zeros((state.params.capacity, 2), jnp.float32)
@@ -190,7 +195,8 @@ def make_phase1_step(cfg: Config, cameras_extent: float, tx):
 
         psnr = image_utils.psnr(aux["render"], aux["gt"])
         return new_state, StepAux(loss, aux["l1"], aux["normal_loss"], psnr,
-                                  dropped, aux["overflow"])
+                                  dropped, aux["overflow"],
+                                  aux["max_tile_count"])
 
     return jax.jit(step, donate_argnums=(0,))
 
@@ -302,7 +308,8 @@ def make_phase2_step(cfg: Config, cameras_extent: float, tx, ltx):
             aux = {"l1": pbr_l1, "normal_loss": jnp.float32(0.0),
                    "render": render_rgb, "gt": gt,
                    "visibility": res["visibility_filter"],
-                   "radii": res["radii"], "overflow": res["overflow"]}
+                   "radii": res["radii"], "overflow": res["overflow"],
+                   "max_tile_count": res["max_tile_count"]}
             return loss, aux
 
         ndc_zeros = jnp.zeros((state.params.capacity, 2), jnp.float32)
@@ -323,7 +330,8 @@ def make_phase2_step(cfg: Config, cameras_extent: float, tx, ltx):
         psnr = image_utils.psnr(
             jnp.clip(aux["render"], 0.0, 1.0), aux["gt"])
         return new_state, StepAux(loss, aux["l1"], jnp.float32(0.0), psnr,
-                                  dropped, aux["overflow"])
+                                  dropped, aux["overflow"],
+                                  aux["max_tile_count"])
 
     jitted = jax.jit(step, donate_argnums=(0,))
 

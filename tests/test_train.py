@@ -99,6 +99,50 @@ def test_phase1_training_reduces_loss():
     assert np.isfinite(np.asarray(state.params.xyz)).all()
 
 
+def test_cap_tile_overflow_detected_and_grown():
+    """A tile whose pre-cap population exceeds cap_tile must be reported
+    through StepAux.max_tile_count (not silently truncated), and the CLI
+    growth rule must produce a chunk-aligned capacity covering it
+    (binning.py tile_count clamp; train_cli.grow_cap_tile)."""
+    import dataclasses
+    cfg = tiny_cfg()
+    # 120 Gaussians piled on one spot -> one tile holds ~all instances.
+    rng = np.random.RandomState(3)
+    pts = (rng.uniform(-0.01, 0.01, (120, 3)) +
+           np.array([0.0, 0.0, 2.5])).astype(np.float32)
+    colors = rng.uniform(0.2, 0.9, (120, 3)).astype(np.float32)
+    params = create_from_points(pts, colors, capacity=CAP)
+    params = params.replace(opacity=jnp.full_like(params.opacity, 2.0))
+
+    cfg.raster = dataclasses.replace(RCFG, cap_tile=16, chunk=8)
+    # keep an undonated copy: the phase step donates its state, which
+    # aliases `params`' buffers
+    params_copy = jax.tree.map(jnp.copy, params)
+    state = trainer.make_train_state(cfg, params, spatial_lr_scale=1.0)
+    tx = build_optimizer(cfg.opt, 1.0)
+    cam = make_camera(R=np.eye(3), T=np.zeros(3), fovx=1.0, fovy=0.8,
+                      width=64, height=48)
+    img = jnp.full((3, 48, 64), 0.5)
+    alpha = jnp.ones((1, 48, 64))
+    step = trainer.make_phase1_step(cfg, cameras_extent=1.0, tx=tx)
+    _, aux = step(state, cam, img, alpha, jnp.zeros(3), jnp.int32(1))
+    mtc = int(aux.max_tile_count)
+    assert mtc > cfg.raster.cap_tile, (mtc, cfg.raster.cap_tile)
+
+    # CLI growth rule: chunk-aligned, with headroom, covers the demand.
+    ch = cfg.raster.chunk
+    new_cap = -(-int(mtc * 1.3) // ch) * ch
+    assert new_cap >= mtc and new_cap % ch == 0
+    cfg.raster = dataclasses.replace(cfg.raster, cap_tile=new_cap)
+    state2 = trainer.make_train_state(cfg, params_copy, spatial_lr_scale=1.0)
+    step2 = trainer.make_phase1_step(cfg, cameras_extent=1.0, tx=tx)
+    _, aux2 = step2(state2, cam, img, alpha, jnp.zeros(3), jnp.int32(1))
+    assert int(aux2.max_tile_count) <= cfg.raster.cap_tile
+    # With the full population composited the loss actually changes —
+    # proof the truncation was dropping visible instances.
+    assert abs(float(aux2.loss) - float(aux.loss)) > 1e-6
+
+
 def test_phase2_training_runs():
     cfg = tiny_cfg(indirect=True, metallic=True)
     cams, images = gt_setup(n_cams=2)
