@@ -102,8 +102,11 @@ def time_steps(step, state, cam, image, alpha, bg, iters=10):
     return dt, loss
 
 
-def stage_table(cfg, params, cam, rng):
-    """Per-stage timings with coarse roofline estimates."""
+def stage_table(cfg, params, cam, rng, out_of_time=lambda: False):
+    """Per-stage timings with coarse roofline estimates. `out_of_time`
+    is consulted between stages; once true, remaining stages are skipped
+    (reported with ms = -1) so the bench always lands inside the driver
+    budget."""
     import jax
     import jax.numpy as jnp
     from gi_gs_tpu.ops.rasterize.preprocess import preprocess
@@ -119,65 +122,83 @@ def stage_table(cfg, params, cam, rng):
     grid = rc.grid(H, W)
     p = params
     cov3d = jax.jit(lambda q: q.get_covariance(1.0))(p)
-    opacity = p.get_opacity()
+    opacity = jax.jit(lambda q: q.get_opacity())(p)
 
     st = StageTimes()
+    skipped = []
+
+    def measure(name, fn, *args):
+        if out_of_time():
+            skipped.append(name)
+            return None
+        out = st.measure(name, fn, *args)
+        _log(f"stage {name}: {st.times[name] * 1e3:.1f} ms")
+        return out
+
     pre_f = jax.jit(lambda m, c, o: preprocess(
         m, c, cam.w2c, cam.full_proj, cam.tanfovx, cam.tanfovy, W, H, rc,
         opacity=o))
-    pre = st.measure("preprocess", pre_f, p.xyz, cov3d, opacity)
-    bin_f = jax.jit(lambda pr: bin_and_sort(pr, H, W, rc))
-    b = st.measure("binning", bin_f, pre)
-    n_inst = int(np.asarray(b.tile_count).sum())
+    pre = measure("preprocess", pre_f, p.xyz, cov3d, opacity)
+    b = None
+    if pre is not None:
+        bin_f = jax.jit(lambda pr: bin_and_sort(pr, H, W, rc))
+        b = measure("binning", bin_f, pre)
+    n_inst = int(np.asarray(b.tile_count).sum()) if b is not None else 0
 
-    zeros3 = jnp.zeros((CAP, 3))
-    zeros1 = jnp.zeros((CAP, 1))
-    table = jnp.concatenate([
-        pre.means2d, pre.conic, opacity, zeros3 + 0.5, zeros3, zeros3,
-        zeros1, zeros1, pre.depth[:, None], pre.pos_view], axis=1)
+    if b is not None:
+        zeros3 = jnp.zeros((CAP, 3))
+        zeros1 = jnp.zeros((CAP, 1))
+        table = jnp.concatenate([
+            pre.means2d, pre.conic, opacity, zeros3 + 0.5, zeros3, zeros3,
+            zeros1, zeros1, pre.depth[:, None], pre.pos_view], axis=1)
 
-    comp = jax.jit(lambda t: composite_pallas(
-        t, b.ids, b.tile_start, b.tile_count, b.inst_tile, b.inv_perm,
-        b.offsets, b.seg_gaussian, rc, grid, (H, W)))
-    st.measure("composite_fwd", comp, table)
-
-    def comp_loss(t):
-        acc, ft = composite_pallas(
+        comp = jax.jit(lambda t: composite_pallas(
             t, b.ids, b.tile_start, b.tile_count, b.inst_tile, b.inv_perm,
-            b.offsets, b.seg_gaussian, rc, grid, (H, W))
-        return (acc ** 2).sum() + (ft ** 2).sum()
-    st.measure("composite_fwd_bwd", jax.jit(jax.grad(comp_loss)), table)
+            b.offsets, b.seg_gaussian, rc, grid, (H, W)))
+        measure("composite_fwd", comp, table)
+
+        def comp_loss(t):
+            acc, ft = composite_pallas(
+                t, b.ids, b.tile_start, b.tile_count, b.inst_tile, b.inv_perm,
+                b.offsets, b.seg_gaussian, rc, grid, (H, W))
+            return (acc ** 2).sum() + (ft ** 2).sum()
+        measure("composite_fwd_bwd", jax.jit(jax.grad(comp_loss)), table)
+    else:
+        skipped += ["composite_fwd", "composite_fwd_bwd"]
 
     # screen-space GI at reference defaults (coherent kernel)
     nv = jnp.asarray(rng.rand(3, H, W).astype(np.float32))
     dp = jnp.asarray((rng.rand(3, H, W) * 2 + 1).astype(np.float32))
     rgb = jnp.asarray(rng.rand(3, H, W).astype(np.float32))
     gi = cfg.gi
-    st.measure("ssao", jax.jit(lambda a, b_: pallas_gi.ssao_pallas(
+    measure("ssao", jax.jit(lambda a, b_: pallas_gi.ssao_pallas(
         a, b_, cam.fx, cam.fy, gi)), nv, dp)
     alb = jnp.asarray(rng.rand(3, H, W).astype(np.float32))
     r1 = jnp.asarray(rng.rand(1, H, W).astype(np.float32))
     f0 = jnp.asarray(rng.rand(3, H, W).astype(np.float32) * 0.2)
-    st.measure("ssr", jax.jit(lambda *a: pallas_gi.ssr_pallas(
+    measure("ssr", jax.jit(lambda *a: pallas_gi.ssr_pallas(
         *a, cam.fx, cam.fy, gi)), nv, dp, rgb, alb, r1, r1, f0)
 
     # PBR stack
     R = cfg.train.light_base_res
     spec, arrays = build_prefilter_tables(R)
     base = jnp.asarray(rng.rand(6, R, R, 3).astype(np.float32))
-    light = st.measure("build_mips", jax.jit(
+    light = measure("build_mips", jax.jit(
         lambda bb, t: build_mips_packed(bb, spec, t)), base, arrays)
-    brdf = get_brdf_lut()
-    nrm_hw = jnp.asarray(rng.randn(H, W, 3).astype(np.float32))
-    nrm_hw = nrm_hw / jnp.linalg.norm(nrm_hw, axis=-1, keepdims=True)
-    alb_hw = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
-    rough_hw = jnp.asarray(rng.rand(H, W, 1).astype(np.float32))
-    mask = jnp.ones((H, W, 1), bool)
-    occ1 = jnp.ones((H, W, 1), jnp.float32)
-    st.measure("pbr_shading", jax.jit(lambda l, a_, r_: pbr_shading(
-        light=l, normals=nrm_hw, view_dirs=nrm_hw, albedo=a_, roughness=r_,
-        mask=mask, brdf_lut=brdf, tone=False, gamma=False, occlusion=occ1,
-        metallic=None)), light, alb_hw, rough_hw)
+    if light is not None:
+        brdf = get_brdf_lut()
+        nrm_hw = jnp.asarray(rng.randn(H, W, 3).astype(np.float32))
+        nrm_hw = nrm_hw / jnp.linalg.norm(nrm_hw, axis=-1, keepdims=True)
+        alb_hw = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
+        rough_hw = jnp.asarray(rng.rand(H, W, 1).astype(np.float32))
+        mask = jnp.ones((H, W, 1), bool)
+        occ1 = jnp.ones((H, W, 1), jnp.float32)
+        measure("pbr_shading", jax.jit(lambda l, a_, r_: pbr_shading(
+            light=l, normals=nrm_hw, view_dirs=nrm_hw, albedo=a_, roughness=r_,
+            mask=mask, brdf_lut=brdf, tone=False, gamma=False, occlusion=occ1,
+            metallic=None)), light, alb_hw, rough_hw)
+    else:
+        skipped.append("pbr_shading")
 
     # work estimates (coarse, documented): bytes dominate everywhere
     px_per_tile = rc.pixels_per_tile
@@ -202,6 +223,8 @@ def stage_table(cfg, params, cam, rng):
     table_out = st.report(work, peak_flops=PEAK_VPU, peak_bw=PEAK_BW)
     for k in table_out:
         table_out[k] = {kk: round(vv, 3) for kk, vv in table_out[k].items()}
+    for k in skipped:
+        table_out[k] = {"ms": -1.0, "skipped_for_budget": True}
     return table_out, n_inst
 
 
@@ -228,10 +251,21 @@ def tpu_parity(cfg, rng):
 
 def main():
     _enable_compile_cache()
+    import concurrent.futures as cf
+
     import jax
     import jax.numpy as jnp
     from gi_gs_tpu.train import trainer
     from gi_gs_tpu.train.optim import build_optimizer, build_light_optimizer
+
+    # Wall-clock budget: optional sections (stage table, parity) are
+    # skipped once their share is spent so the driver always records a
+    # result. Remote-compile latency on the tunneled backend is highly
+    # variable, so nothing optional is allowed to starve the phase steps.
+    budget = float(os.environ.get("GI_GS_BENCH_BUDGET", "540"))
+
+    def spent_over(frac: float) -> bool:
+        return (time.time() - _T0) > budget * frac
 
     _log(f"devices: {jax.devices()}")
     cfg, params, cam, image, alpha, bg, rng = build_scene()
@@ -240,25 +274,49 @@ def main():
     tx = build_optimizer(cfg.opt, 1.0)
     ltx = build_light_optimizer(cfg.opt)
 
-    # Stage table + parity run FIRST: the phase steps donate their input
-    # state (trainer.py donate_argnums=(0,)), and `params` aliases the
-    # buffers inside it — using them after a donating call raises "Array
-    # has been deleted" (the round-2 driver-bench failure).
-    stages, n_inst = stage_table(cfg, params, cam, rng)
+    # The phase steps are the two monster compiles: lower + compile them
+    # in background threads (the remote compile service handles programs
+    # concurrently) while the stage table / parity checks run on-device.
+    step1 = trainer.make_phase1_step(cfg, cameras_extent=3.0, tx=tx)
+    step2 = trainer.make_phase2_step(cfg, cameras_extent=3.0, tx=tx, ltx=ltx)
+    args1 = (state, cam, image, alpha, bg, jnp.int32(1))
+    args2 = args1 + (step2.light_arrays,)
+    pool = cf.ThreadPoolExecutor(2)
+    fut1 = pool.submit(lambda: step1.lower(*args1).compile())
+    fut2 = pool.submit(lambda: step2.jitted.lower(*args2).compile())
+
+    # Stage table + parity run BEFORE the phase steps execute: the phase
+    # steps donate their input state (trainer.py donate_argnums=(0,)),
+    # and `params` aliases the buffers inside it — using them after a
+    # donating call raises "Array has been deleted" (the round-2
+    # driver-bench failure).
+    stages, n_inst = stage_table(cfg, params, cam, rng,
+                                 out_of_time=lambda: spent_over(0.55))
     _log("stage table done")
-    parity = tpu_parity(cfg, rng)
+    if spent_over(0.8):
+        parity = {"skipped_for_budget": True}
+    else:
+        parity = tpu_parity(cfg, rng)
     _log("tpu parity done")
 
-    step1 = trainer.make_phase1_step(cfg, cameras_extent=3.0, tx=tx)
-    dt1, loss1 = time_steps(step1, jax.tree.map(jnp.copy, state),
+    compiled1 = fut1.result()
+    _log("phase1 compiled")
+    compiled2 = fut2.result()
+    _log("phase2 compiled")
+    pool.shutdown()
+
+    dt1, loss1 = time_steps(compiled1, jax.tree.map(jnp.copy, state),
                             cam, image, alpha, bg)
     _log(f"phase1 {1.0 / dt1:.2f} it/s")
 
-    step2 = trainer.make_phase2_step(cfg, cameras_extent=3.0, tx=tx, ltx=ltx)
-    dt2, loss2 = time_steps(step2, state, cam, image, alpha, bg, iters=5)
+    def step2_run(st, *a):
+        return compiled2(st, *a, step2.light_arrays)
+
+    dt2, loss2 = time_steps(step2_run, state, cam, image, alpha, bg, iters=5)
     _log(f"phase2 {1.0 / dt2:.2f} it/s")
 
-    gi_ms = stages["ssao"]["ms"] + stages["ssr"]["ms"]
+    gi_ms = (stages.get("ssao", {}).get("ms", 0.0) +
+             stages.get("ssr", {}).get("ms", 0.0))
     result = {
         "metric": "train_iters_per_s_lego800_fwd_bwd",
         "value": round(1.0 / dt1, 4),
@@ -266,7 +324,7 @@ def main():
         "vs_baseline": round(1.0 / dt1 / 7.0, 4),
         "extra": {
             "phase2_iters_per_s": round(1.0 / dt2, 4),
-            "phase2_gi_fraction": round(gi_ms / 1e3 / dt2, 3),
+            "phase2_gi_fraction": round(max(gi_ms, 0.0) / 1e3 / dt2, 3),
             "rays_per_s": round(H * W / dt1, 1),
             "splats_per_s": round(n_inst / dt1, 1),
             "n_gaussians": N,

@@ -121,13 +121,37 @@ def main(argv=None):
     cfg.raster = dataclasses.replace(cfg.raster, cap_instances=cap0)
     print(f"instance capacity bucket: {cap0}", flush=True)
 
+    # Data-parallel scale-out: one camera per chip over a device mesh,
+    # gradients pmean'd over ICI (SURVEY §2.3 — capability the reference
+    # lacks). dp=1 keeps the reference-equivalent single-chip path.
+    dp = max(int(cfg.train.dp), 1)
+    mesh = None
+    if dp > 1:
+        from jax.sharding import Mesh
+        devs = jax.devices()
+        assert len(devs) >= dp, (
+            f"--dp {dp} requested but only {len(devs)} devices visible "
+            "(set XLA_FLAGS=--xla_force_host_platform_device_count=N "
+            "JAX_PLATFORMS=cpu to emulate)")
+        mesh = Mesh(np.array(devs[:dp]), ("data",))
+        print(f"data-parallel over {dp} devices: {devs[:dp]}", flush=True)
+
     step_cache: Dict = {}
 
     def get_step(phase2: bool):
         key = ("p2" if phase2 else "p1", cfg.raster.cap_instances,
                cfg.raster.cap_tile)
         if key not in step_cache:
-            if phase2:
+            if mesh is not None:
+                from ..parallel.data_parallel import (make_dp_phase1_step,
+                                                      make_dp_phase2_step)
+                if phase2:
+                    step_cache[key] = make_dp_phase2_step(
+                        cfg, scene.cameras_extent, tx, ltx, mesh)
+                else:
+                    step_cache[key] = make_dp_phase1_step(
+                        cfg, scene.cameras_extent, tx, mesh)
+            elif phase2:
                 step_cache[key] = trainer_mod.make_phase2_step(
                     cfg, scene.cameras_extent, tx, ltx)
             else:

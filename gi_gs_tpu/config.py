@@ -79,6 +79,9 @@ class TrainConfig:
     start_checkpoint: str = ""
     seed: int = 0
     light_base_res: int = 256
+    # TPU scale-out: data-parallel width (cameras per step, one per chip
+    # over a jax.sharding.Mesh). 1 = reference-equivalent single chip.
+    dp: int = 1
     # gt HDRI for the fork's split_envmap_loss diagnostics (train.py:210);
     # empty = disabled (the loss term is commented out upstream anyway).
     hdri_path: str = ""

@@ -15,6 +15,7 @@ Raw (pre-activation) parameters, matching ref __init__ (gaussian_model.py:59-80)
 """
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import flax.struct
@@ -115,9 +116,21 @@ def create_from_points(points: np.ndarray, colors: np.ndarray,
         points = np.asarray(points)[sel]
         colors = np.asarray(colors)[sel]
         n = capacity
-    K = (max_sh_degree + 1) ** 2
+    arrays = _init_arrays(jnp.asarray(points, jnp.float32),
+                          jnp.asarray(colors, jnp.float32),
+                          capacity=capacity, max_sh_degree=max_sh_degree)
+    return GaussianParams(**arrays, active_sh_degree=0,
+                          max_sh_degree=max_sh_degree)
 
-    pts = jnp.asarray(points, jnp.float32)
+
+@functools.partial(jax.jit, static_argnames=("capacity", "max_sh_degree"))
+def _init_arrays(pts: jnp.ndarray, colors: jnp.ndarray, capacity: int,
+                 max_sh_degree: int):
+    """One jitted program for the whole init (KNN + padding): the eager
+    form costs ~25 separate remote compiles per run on networked
+    backends."""
+    n = pts.shape[0]
+    K = (max_sh_degree + 1) ** 2
     dist2 = jnp.maximum(mean_knn_dist2(pts), 1e-7)
     log_scales = jnp.log(jnp.sqrt(dist2))[:, None].repeat(3, axis=1)
 
@@ -125,10 +138,10 @@ def create_from_points(points: np.ndarray, colors: np.ndarray,
         shape = (capacity - n,) + x.shape[1:]
         return jnp.concatenate([x, jnp.full(shape, fill, x.dtype)], axis=0)
 
-    feat_dc = sh_ops.rgb_to_sh0(jnp.asarray(colors, jnp.float32))[:, None, :]
+    feat_dc = sh_ops.rgb_to_sh0(colors)[:, None, :]
     rot = jnp.zeros((n, 4), jnp.float32).at[:, 0].set(1.0)
 
-    return GaussianParams(
+    return dict(
         xyz=pad(pts),
         features_dc=pad(feat_dc),
         features_rest=jnp.zeros((capacity, K - 1, 3), jnp.float32),
@@ -140,6 +153,4 @@ def create_from_points(points: np.ndarray, colors: np.ndarray,
         scaling=pad(log_scales, fill=-10.0),  # tiny padded splats
         rotation=pad(rot).at[n:, 0].set(1.0),  # valid quats in padding
         alive=jnp.arange(capacity) < n,
-        active_sh_degree=0,
-        max_sh_degree=max_sh_degree,
     )

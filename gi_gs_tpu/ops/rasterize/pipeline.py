@@ -6,6 +6,7 @@ The jittable equivalent of `CudaRasterizer::Rasterizer::forward`
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -112,6 +113,7 @@ def compute_peak_depth_pos(table, binning, cfg: RasterConfig, grid,
     return img[0:1], img[1:4]
 
 
+@functools.partial(jax.jit, static_argnames=("height", "width", "cfg"))
 def count_instances(means3d: jnp.ndarray, cov3d: jnp.ndarray,
                     w2c: jnp.ndarray, full_proj: jnp.ndarray,
                     tanfovx, tanfovy, height: int, width: int,
@@ -121,7 +123,8 @@ def count_instances(means3d: jnp.ndarray, cov3d: jnp.ndarray,
     of the reference's `num_rendered` device->host sync
     (rasterizer_impl.cu:589). Used host-side to pick the static
     `cap_instances` bucket (the framework re-jits on overflow instead of
-    reallocating per frame)."""
+    reallocating per frame). Jitted into ONE program: the eager-op form
+    costs ~100 separate remote compiles per probe on networked backends."""
     pre = preprocess(means3d, cov3d, w2c, full_proj, tanfovx, tanfovy,
                      width, height, cfg, opacity=opacity)
     return pre.tiles_touched.sum().astype(jnp.int32)

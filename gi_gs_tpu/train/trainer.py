@@ -212,6 +212,98 @@ def compute_view_dirs(camera: Camera) -> jnp.ndarray:
     return vd.reshape(camera.height, camera.width, 3)
 
 
+def phase2_view_loss(cfg: Config, brdf_lut, light, params, ndc_zeros,
+                     camera: Camera, image, alpha, bg, view_dirs):
+    """Per-view deferred-PBR loss (train.py:330-407): render the G-buffer,
+    split-sum shade against the prefiltered `light`, add SSR indirect and
+    the per-view regularisers. Shared by the single-chip phase-2 step and
+    the data-parallel step (which vmaps it over the camera shard); the
+    per-*step* env-TV term lives in the callers."""
+    t = cfg.train
+    res = render(camera, params, bg, cfg.raster, cfg.gi,
+                 derive_normal=True, compute_occlusion=t.indirect,
+                 ndc_offset=ndc_zeros)
+    gt = _gt_image(image, alpha, bg)
+
+    rmax, rmin = 1.0, 0.04
+    roughness_map = res["roughness_map"] * (rmax - rmin) + rmin
+    metallic_map = res["metallic_map"]
+    albedo_map = res["albedo_map"]
+    normal_mask = res["normal_mask"]            # [1, H, W]
+
+    if t.indirect:
+        occlusion = res["occlusion_map"].transpose(1, 2, 0)
+    else:
+        occlusion = jnp.ones_like(roughness_map).transpose(1, 2, 0)
+
+    pbr = pbr_shading(
+        light=light,
+        normals=jax.lax.stop_gradient(
+            res["normal_map"].transpose(1, 2, 0)),
+        view_dirs=view_dirs,
+        albedo=albedo_map.transpose(1, 2, 0),
+        roughness=roughness_map.transpose(1, 2, 0),
+        mask=normal_mask.transpose(1, 2, 0),
+        brdf_lut=brdf_lut,
+        tone=t.tone, gamma=t.gamma,
+        occlusion=jax.lax.stop_gradient(occlusion),
+        metallic=metallic_map.transpose(1, 2, 0) if t.metallic else None)
+
+    render_direct = pbr["render_rgb"].transpose(2, 0, 1)  # [3, H, W]
+    render_direct = jnp.where(normal_mask, render_direct,
+                              bg[:, None, None])
+
+    if t.metallic:
+        f0 = (1.0 - metallic_map) * 0.04 + albedo_map * metallic_map
+    else:
+        f0 = jnp.ones_like(albedo_map) * 0.04
+        metallic_map = jnp.zeros_like(roughness_map)
+
+    sg = jax.lax.stop_gradient
+    linear_rgb = math_utils.srgb_to_linear(render_direct)
+    irr, _ = screen_space.ssr(
+        sg(res["out_normal_view"]), sg(res["depth_pos"]),
+        sg(linear_rgb), albedo_map, roughness_map, metallic_map,
+        f0, camera.fx, camera.fy, cfg.gi)
+    irr = math_utils.linear_to_srgb(irr)
+    irr = image_utils.median_blur_3x3(irr)
+    render_rgb = render_direct + irr
+
+    pbr_l1 = image_utils.l1_loss(render_rgb, gt)
+    loss = pbr_l1
+
+    brdf_maps = jnp.concatenate(
+        [albedo_map, roughness_map, metallic_map], axis=0)
+    has_bg = (normal_mask == 0).sum() > 0
+    brdf_tv = jnp.where(
+        has_bg,
+        losses.masked_tv_loss(normal_mask, gt, brdf_maps),
+        losses.tv_loss(gt, brdf_maps, pad=1, step=1))
+    loss = loss + brdf_tv * t.brdf_tv_weight
+
+    m = normal_mask.astype(jnp.float32)
+    msum = jnp.maximum(m.sum(), 1.0)
+    lamb = ((1.0 - roughness_map) * m).sum() / msum + \
+        (metallic_map * m).sum() / msum
+    loss = loss + 0.001 * lamb
+
+    aux = {"l1": pbr_l1, "normal_loss": jnp.float32(0.0),
+           "render": render_rgb, "gt": gt,
+           "visibility": res["visibility_filter"],
+           "radii": res["radii"], "overflow": res["overflow"],
+           "max_tile_count": res["max_tile_count"]}
+    return loss, aux
+
+
+def env_tv_loss(cubemap_base) -> jnp.ndarray:
+    """Per-step environment-map TV on the exported lat-long grid
+    (train.py:409-416)."""
+    from ..models.light import envmap_dirs
+    envmap = sample_cubemap(cubemap_base, envmap_dirs())
+    return ((envmap[1:] - envmap[:-1]) ** 2).mean() + \
+        ((envmap[:, 1:] - envmap[:, :-1]) ** 2).mean()
+
+
 def make_phase2_step(cfg: Config, cameras_extent: float, tx, ltx):
     """Deferred-PBR phase step (train.py:330-421). Background is forced to
     black like the reference (train.py:264-265).
@@ -230,86 +322,12 @@ def make_phase2_step(cfg: Config, cameras_extent: float, tx, ltx):
 
         def loss_fn(view, cubemap_base, ndc_zeros):
             params = state.params.replace(**view)
-            res = render(camera, params, bg, cfg.raster, cfg.gi,
-                         derive_normal=True, compute_occlusion=t.indirect,
-                         ndc_offset=ndc_zeros)
-            gt = _gt_image(image, alpha, bg)
-
-            rmax, rmin = 1.0, 0.04
-            roughness_map = res["roughness_map"] * (rmax - rmin) + rmin
-            metallic_map = res["metallic_map"]
-            albedo_map = res["albedo_map"]
-            normal_mask = res["normal_mask"]            # [1, H, W]
-
-            if t.indirect:
-                occlusion = res["occlusion_map"].transpose(1, 2, 0)
-            else:
-                occlusion = jnp.ones_like(roughness_map).transpose(1, 2, 0)
-
             light = build_mips_packed(cubemap_base, light_spec,
                                       light_tables)
-            pbr = pbr_shading(
-                light=light,
-                normals=jax.lax.stop_gradient(
-                    res["normal_map"].transpose(1, 2, 0)),
-                view_dirs=view_dirs,
-                albedo=albedo_map.transpose(1, 2, 0),
-                roughness=roughness_map.transpose(1, 2, 0),
-                mask=normal_mask.transpose(1, 2, 0),
-                brdf_lut=brdf_lut,
-                tone=t.tone, gamma=t.gamma,
-                occlusion=jax.lax.stop_gradient(occlusion),
-                metallic=metallic_map.transpose(1, 2, 0) if t.metallic else None)
-
-            render_direct = pbr["render_rgb"].transpose(2, 0, 1)  # [3, H, W]
-            render_direct = jnp.where(normal_mask, render_direct,
-                                      bg[:, None, None])
-
-            if t.metallic:
-                f0 = (1.0 - metallic_map) * 0.04 + albedo_map * metallic_map
-            else:
-                f0 = jnp.ones_like(albedo_map) * 0.04
-                metallic_map = jnp.zeros_like(roughness_map)
-
-            sg = jax.lax.stop_gradient
-            linear_rgb = math_utils.srgb_to_linear(render_direct)
-            irr, _ = screen_space.ssr(
-                sg(res["out_normal_view"]), sg(res["depth_pos"]),
-                sg(linear_rgb), albedo_map, roughness_map, metallic_map,
-                f0, camera.fx, camera.fy, cfg.gi)
-            irr = math_utils.linear_to_srgb(irr)
-            irr = image_utils.median_blur_3x3(irr)
-            render_rgb = render_direct + irr
-
-            pbr_l1 = image_utils.l1_loss(render_rgb, gt)
-            loss = pbr_l1
-
-            brdf_maps = jnp.concatenate(
-                [albedo_map, roughness_map, metallic_map], axis=0)
-            has_bg = (normal_mask == 0).sum() > 0
-            brdf_tv = jnp.where(
-                has_bg,
-                losses.masked_tv_loss(normal_mask, gt, brdf_maps),
-                losses.tv_loss(gt, brdf_maps, pad=1, step=1))
-            loss = loss + brdf_tv * t.brdf_tv_weight
-
-            m = normal_mask.astype(jnp.float32)
-            msum = jnp.maximum(m.sum(), 1.0)
-            lamb = ((1.0 - roughness_map) * m).sum() / msum + \
-                (metallic_map * m).sum() / msum
-            loss = loss + 0.001 * lamb
-
-            from ..models.light import envmap_dirs
-            envmap = sample_cubemap(cubemap_base, envmap_dirs())
-            env_tv = ((envmap[1:] - envmap[:-1]) ** 2).mean() + \
-                ((envmap[:, 1:] - envmap[:, :-1]) ** 2).mean()
-            loss = loss + env_tv * t.env_tv_weight
-
-            aux = {"l1": pbr_l1, "normal_loss": jnp.float32(0.0),
-                   "render": render_rgb, "gt": gt,
-                   "visibility": res["visibility_filter"],
-                   "radii": res["radii"], "overflow": res["overflow"],
-                   "max_tile_count": res["max_tile_count"]}
+            loss, aux = phase2_view_loss(cfg, brdf_lut, light, params,
+                                         ndc_zeros, camera, image, alpha,
+                                         bg, view_dirs)
+            loss = loss + env_tv_loss(cubemap_base) * t.env_tv_weight
             return loss, aux
 
         ndc_zeros = jnp.zeros((state.params.capacity, 2), jnp.float32)
@@ -339,4 +357,8 @@ def make_phase2_step(cfg: Config, cameras_extent: float, tx, ltx):
         return jitted(state, camera, image, alpha, bg, iteration,
                       light_arrays)
 
+    # Exposed for ahead-of-time compilation (bench.py lowers + compiles
+    # all programs in parallel threads to hide remote-compile latency).
+    run.jitted = jitted
+    run.light_arrays = light_arrays
     return run
