@@ -16,7 +16,7 @@ from .. import config as config_mod
 from ..models import light as light_mod
 from ..scene.dataset import load_scene
 from ..utils import checkpoint as ckpt
-from .render_cli import render_pbr_view, save_image
+from .render_cli import build_light_jit, make_pbr_view_fn, save_image
 
 
 def main(argv=None):
@@ -44,8 +44,9 @@ def main(argv=None):
 
     # New environment light from the HDRI (relight.py:254-334).
     hdri = light_mod.load_hdr(args.hdri)
-    base = light_mod.latlong_to_cubemap(jnp.asarray(hdri), args.cubemap_res)
-    light = light_mod.build_mips(base)
+    base = jax.jit(light_mod.latlong_to_cubemap,
+                   static_argnums=(1,))(jnp.asarray(hdri), args.cubemap_res)
+    light = build_light_jit(cfg, base)
     state = state._replace(cubemap=base)
 
     # Albedo ratio from the NVS albedo eval, if present
@@ -71,14 +72,14 @@ def main(argv=None):
     out_dir = os.path.join(cfg.model.model_path, "test",
                            f"ours_{iteration}", "relight", env_name)
     os.makedirs(out_dir, exist_ok=True)
-    envmap = light_mod.export_envmap(base)
+    envmap = jax.jit(light_mod.export_envmap)(base)
     save_image(os.path.join(out_dir, "envmap.png"),
                np.asarray(envmap) / max(float(envmap.max()), 1e-6), chw=False)
 
     bg = jnp.zeros(3)
+    view_fn = make_pbr_view_fn(cfg, albedo_ratio=ratio)
     for idx, rec in enumerate(views):
-        out = render_pbr_view(cfg, state, rec.camera(), bg, light=light,
-                              albedo_ratio=ratio)
+        out = view_fn(state, rec.camera(), bg, light)
         save_image(os.path.join(out_dir, f"{rec.name}.png"), out["render_rgb"])
         print(f"relit view {idx}: {rec.name}", flush=True)
 

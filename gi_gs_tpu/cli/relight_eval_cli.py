@@ -22,14 +22,19 @@ def main(argv=None):
     parser.add_argument("--gt_dir", type=str, required=True)
     parser.add_argument("--num_test", type=int, default=0)
     parser.add_argument("--size", type=int, default=400)
+    parser.add_argument("--lpips_weights", type=str, default="",
+                        help="VGG-LPIPS weights file (.npz or torch .pt); "
+                             "lpips_avg is null when absent")
     args = parser.parse_args(argv)
+    from ..utils import lpips as lpips_mod
+    lw = lpips_mod.maybe_load(args.lpips_weights)
 
     data_subdir = os.environ.get("DATA_SUBDIR", "")
     map_name = os.environ.get("MAP_NAME", "")
     dataset = os.environ.get("DATASET", "")
     num_test = args.num_test or (9 if "spheres" in dataset else 15)
 
-    psnr_avg, ssim_avg, n = 0.0, 0.0, 0
+    psnr_avg, ssim_avg, lpips_avg, n = 0.0, 0.0, 0.0, 0
     for idx in range(num_test):
         fid = 10 * (idx + 1)
         pred_path = os.path.join(args.output_dir, f"r_{fid:04}_{map_name}.png")
@@ -46,11 +51,13 @@ def main(argv=None):
         g = jnp.asarray(gt.transpose(2, 0, 1))
         psnr_avg += float(image_utils.psnr(p, g))
         ssim_avg += float(image_utils.ssim(p, g))
+        if lw is not None:
+            lpips_avg += lpips_mod.lpips(p, g, lw)
         n += 1
 
     assert n > 0, "no prediction/GT pairs found"
     metrics = {"psnr_avg": psnr_avg / n, "ssim_avg": ssim_avg / n,
-               "lpips_avg": None}
+               "lpips_avg": (lpips_avg / n) if lw is not None else None}
     print(metrics)
     out_dir = os.path.join("relight", dataset, f"relight_FROM_{data_subdir}",
                            f"relight_TO_{map_name}")

@@ -39,12 +39,35 @@ def save_image(path: str, img, chw=True) -> None:
     Image.fromarray((arr * 255).astype(np.uint8)).save(path)
 
 
+def build_light_jit(cfg, cubemap):
+    """Prefiltered light via ONE jitted program with the static weight
+    tables passed as arguments (matching trainer.make_phase2_step; the
+    eager form costs minutes of per-op compiles on slow backends)."""
+    spec, arrays = light_mod.build_prefilter_tables(cubemap.shape[1])
+    return jax.jit(lambda b, t: light_mod.build_mips_packed(b, spec, t))(
+        cubemap, arrays)
+
+
+def make_pbr_view_fn(cfg, albedo_ratio=None):
+    """One jitted render_pbr_view(state, cam, bg, light) for repeated
+    per-view evaluation (all views share shapes, so this compiles once)."""
+    brdf_lut = get_brdf_lut()
+    ratio = None if albedo_ratio is None else jnp.asarray(albedo_ratio)
+
+    @jax.jit
+    def view_fn(state, cam, bg, light):
+        return render_pbr_view(cfg, state, cam, bg, light=light,
+                               albedo_ratio=ratio, brdf_lut=brdf_lut)
+
+    return view_fn
+
+
 def render_pbr_view(cfg, state, cam, bg, light=None, albedo_ratio=None,
                     brdf_lut=None) -> Dict[str, jnp.ndarray]:
     """Full PBR + SSR render of one view (render.py:206-341). Returns the
     product dict with channel-first images."""
     if light is None:
-        light = light_mod.build_mips(state.cubemap)
+        light = build_light_jit(cfg, state.cubemap)
     if brdf_lut is None:
         brdf_lut = get_brdf_lut()
     t = cfg.train
@@ -107,6 +130,9 @@ def eval_albedo(cfg, state, records, out_dir: str) -> Dict:
     next to the RGB frames when present."""
     import os.path as osp
     gts, preds, masks = [], [], []
+    albedo_fn = jax.jit(lambda params, cam: render(
+        cam, params, jnp.zeros(3), cfg.raster, cfg.gi, inference=True,
+        pad_normal=True, derive_normal=False, compute_occlusion=False))
     for rec in records:
         base = osp.join(cfg.model.source_path, "test", f"{rec.name}_albedo.png")
         alt = osp.join(cfg.model.source_path, f"{rec.name}_albedo.png")
@@ -115,9 +141,7 @@ def eval_albedo(cfg, state, records, out_dir: str) -> Dict:
             continue
         gt = np.asarray(Image.open(gt_path), np.float32)[..., :3] / 255.0
         cam = rec.camera()
-        res = render(cam, state.params, jnp.zeros(3), cfg.raster, cfg.gi,
-                     inference=True, pad_normal=True, derive_normal=False,
-                     compute_occlusion=False)
+        res = albedo_fn(state.params, cam)
         preds.append(np.asarray(res["albedo_map"]).transpose(1, 2, 0))
         gts.append(gt)
         masks.append(np.asarray(rec.alpha)[0] > 0.5)
@@ -155,7 +179,12 @@ def main(argv=None):
     parser.add_argument("--pbr", action="store_true")
     parser.add_argument("--brdf_eval", action="store_true")
     parser.add_argument("--max_views", type=int, default=0)
+    parser.add_argument("--lpips_weights", type=str, default="",
+                        help="VGG-LPIPS weights file (.npz or torch .pt); "
+                             "lpips_avg is null when absent")
     args = parser.parse_args(argv)
+    from ..utils import lpips as lpips_mod
+    lpips_w = lpips_mod.maybe_load(args.lpips_weights)
     cfg = config_mod.load_cfg(args.model_path) \
         if os.path.exists(os.path.join(args.model_path or "",
                                        "cfg_args.json")) else config_mod.Config()
@@ -183,18 +212,19 @@ def main(argv=None):
     for sub in ("renders", "gt", "normal", "pbr", "depth"):
         os.makedirs(os.path.join(out_root, sub), exist_ok=True)
 
-    light = light_mod.build_mips(state.cubemap)
-    envmap = light_mod.export_envmap(state.cubemap)
+    light = build_light_jit(cfg, state.cubemap)
+    envmap = jax.jit(light_mod.export_envmap)(state.cubemap)
     save_image(os.path.join(cfg.model.model_path, "test", "envmap.png"),
                np.asarray(envmap) / max(float(envmap.max()), 1e-6), chw=False)
 
     bg = jnp.zeros(3)
-    psnrs, ssims = [], []
+    view_fn = make_pbr_view_fn(cfg)
+    psnrs, ssims, lpipss = [], [], []
     for idx, rec in enumerate(views):
         cam = rec.camera()
         gt = jnp.clip(jnp.asarray(rec.image) * jnp.asarray(rec.alpha) +
                       bg[:, None, None] * (1 - jnp.asarray(rec.alpha)), 0, 1)
-        out = render_pbr_view(cfg, state, cam, bg, light=light)
+        out = view_fn(state, cam, bg, light)
         name = rec.name
         save_image(os.path.join(out_root, "pbr", f"{name}.png"), out["render_rgb"])
         save_image(os.path.join(out_root, "pbr", f"{name}_albedo.png"), out["albedo_map"])
@@ -216,11 +246,14 @@ def main(argv=None):
         save_image(os.path.join(out_root, "gt", f"{idx:05d}.png"), gt)
         psnrs.append(float(image_utils.psnr(jnp.clip(out["render_rgb"], 0, 1), gt)))
         ssims.append(float(image_utils.ssim(jnp.clip(out["render_rgb"], 0, 1), gt)))
+        if lpips_w is not None:
+            lpipss.append(lpips_mod.lpips(
+                jnp.clip(out["render_rgb"], 0, 1), gt, lpips_w))
         print(f"view {idx} psnr {psnrs[-1]:.2f}", flush=True)
 
     results = {"psnr_avg": float(np.mean(psnrs)),
                "ssim_avg": float(np.mean(ssims)),
-               "lpips_avg": None}
+               "lpips_avg": float(np.mean(lpipss)) if lpipss else None}
     if args.brdf_eval:
         results.update(eval_albedo(cfg, state, views,
                                    os.path.join(out_root, "albedo")))

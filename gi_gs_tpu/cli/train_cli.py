@@ -27,23 +27,30 @@ from ..utils import image_utils
 def evaluate(cfg, state, records, phase2: bool, max_views: int = 8,
              tb=None, iteration: int = 0) -> Dict:
     """Held-out metrics + optional TensorBoard image grids
-    (ref training_report, train.py:553-818)."""
+    (ref training_report, train.py:553-818). Per-view renders run through
+    one jitted program (all views share shapes)."""
     from ..renderer import render
-    from ..cli.render_cli import render_pbr_view
+    from ..cli.render_cli import build_light_jit, make_pbr_view_fn
 
     psnrs, ssims = [], []
     bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.model.white_background
                      else [0.0, 0.0, 0.0])
+    if phase2:
+        light = build_light_jit(cfg, state.cubemap)
+        view_fn = make_pbr_view_fn(cfg)
+    else:
+        view_fn = jax.jit(lambda params, cam, bg: render(
+            cam, params, bg, cfg.raster, cfg.gi, derive_normal=False,
+            compute_occlusion=False))
     for i, rec in enumerate(records[:max_views]):
         cam = rec.camera()
         gt = jnp.clip(jnp.asarray(rec.image) * jnp.asarray(rec.alpha) +
                       bg[:, None, None] * (1 - jnp.asarray(rec.alpha)), 0, 1)
         if phase2:
-            out = render_pbr_view(cfg, state, cam, bg)
+            out = view_fn(state, cam, bg, light)
             img = out["render_rgb"]
         else:
-            res = render(cam, state.params, bg, cfg.raster, cfg.gi,
-                         derive_normal=False, compute_occlusion=False)
+            res = view_fn(state.params, cam, bg)
             out = res
             img = jnp.clip(res["render"], 0.0, 1.0)
         psnrs.append(float(image_utils.psnr(jnp.clip(img, 0, 1), gt)))
@@ -192,12 +199,15 @@ def main(argv=None):
     t0 = time.time()
     t_report = t0
     rng = np.random.RandomState(cfg.train.seed)
+    def next_view():
+        nonlocal stack
+        if not stack:
+            stack = list(range(len(train_recs)))
+        return stack.pop(rng.randint(0, len(stack)))
+
     for iteration in range(first_iter + 1, cfg.opt.iterations + 1):
         if iteration % 1000 == 0:
             state = state._replace(params=state.params.one_up_sh_degree())
-        if not stack:
-            stack = list(range(len(train_recs)))
-        vi = stack.pop(rng.randint(0, len(stack)))
 
         phase2 = iteration > cfg.train.pbr_iteration
         if cfg.opt.random_background and not phase2:
@@ -205,8 +215,20 @@ def main(argv=None):
         else:
             bg = bg_const
         step = get_step(phase2)
-        state, aux = step(state, cams[vi], images[vi], alphas[vi], bg,
-                          jnp.int32(iteration))
+        if mesh is not None:
+            # One distinct camera per chip per step (documented deviation:
+            # dp gradient samples per iteration instead of 1; all views
+            # must share one resolution, as Blender/TensoIR scenes do).
+            from ..parallel.data_parallel import stack_cameras
+            vis = [next_view() for _ in range(dp)]
+            state, aux = step(state, stack_cameras([cams[v] for v in vis]),
+                              jnp.stack([images[v] for v in vis]),
+                              jnp.stack([alphas[v] for v in vis]),
+                              bg, jnp.int32(iteration))
+        else:
+            vi = next_view()
+            state, aux = step(state, cams[vi], images[vi], alphas[vi], bg,
+                              jnp.int32(iteration))
 
         if iteration % 100 == 0 or iteration == first_iter + 1:
             loss = float(aux.loss)

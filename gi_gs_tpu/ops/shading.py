@@ -123,18 +123,51 @@ def env_brdf_approx(roughness: jnp.ndarray, nov: jnp.ndarray) -> jnp.ndarray:
 def _trilinear_specular(specular, dirs, mip):
     """Per-pixel fractional-mip cubemap lookup over the prefiltered stack
     (dr.texture linear-mipmap-linear with mip_level_bias,
-    pbr/shade.py:173-181)."""
+    pbr/shade.py:173-181).
+
+    trilinear(mip) = (1-frac)*S_lo + frac*S_{lo+1}: only the TWO adjacent
+    levels contribute, so the stack is flattened into one [T_total, 3]
+    array and each pixel gathers its 8 bilinear taps from the two levels
+    it actually uses — sampling every level densely (the naive form)
+    costs 4L gathers forward and, worse, L full scatter-adds backward."""
     L = len(specular)
+    ress = np.array([s.shape[1] for s in specular], np.int64)
+    offs = np.concatenate([[0], np.cumsum(6 * ress * ress)]).astype(np.int32)
+    flat = jnp.concatenate([s.reshape(-1, 3) for s in specular], axis=0)
+    ress_j = jnp.asarray(ress.astype(np.int32))
+    offs_j = jnp.asarray(offs[:-1])
+
     mip = jnp.clip(mip[..., 0], 0.0, L - 1)
     lo = jnp.floor(mip)
     frac = (mip - lo)[..., None]
-    out = jnp.zeros(dirs.shape[:-1] + (3,), jnp.float32)
-    for lvl in range(L):
-        w_lo = jnp.where(lo == lvl, 1.0 - frac[..., 0], 0.0)
-        w_hi = jnp.where(lo == lvl - 1, frac[..., 0], 0.0)
-        w = (w_lo + w_hi)[..., None]
-        out = out + w * cm.sample_cubemap(specular[lvl], dirs)
-    return out
+    lo_i = lo.astype(jnp.int32)
+    hi_i = jnp.minimum(lo_i + 1, L - 1)
+
+    face, fx, fy = cm.dir_to_face_uv(dirs)
+
+    def sample_level(lvl):
+        R = ress_j[lvl]                       # per-pixel int32
+        Rf = R.astype(jnp.float32)
+        base = offs_j[lvl] + face * R * R
+        u = (fx + 1.0) * 0.5 * Rf - 0.5
+        v = (fy + 1.0) * 0.5 * Rf - 0.5
+        u0 = jnp.clip(jnp.floor(u), 0, Rf - 1)
+        v0 = jnp.clip(jnp.floor(v), 0, Rf - 1)
+        u1 = jnp.clip(u0 + 1, 0, Rf - 1)
+        v1 = jnp.clip(v0 + 1, 0, Rf - 1)
+        du = jnp.clip(u - u0, 0.0, 1.0)[..., None]
+        dv = jnp.clip(v - v0, 0.0, 1.0)[..., None]
+
+        def fetch(vv, uu):
+            idx = base + vv.astype(jnp.int32) * R + uu.astype(jnp.int32)
+            return flat[idx]
+
+        return (fetch(v0, u0) * (1 - du) * (1 - dv) +
+                fetch(v0, u1) * du * (1 - dv) +
+                fetch(v1, u0) * (1 - du) * dv +
+                fetch(v1, u1) * du * dv)
+
+    return sample_level(lo_i) * (1.0 - frac) + sample_level(hi_i) * frac
 
 
 def pbr_shading(light: light_mod.CubemapLight,

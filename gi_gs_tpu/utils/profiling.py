@@ -21,19 +21,22 @@ def _sync(out) -> None:
 
 def time_fn(fn: Callable, *args, iters: int = 5, warmup: int = 1,
             **kwargs) -> Tuple[float, Any]:
-    """Median wall time (seconds) of fn(*args) with host-transfer fencing.
-    Returns (seconds, last_output)."""
+    """Mean wall time (seconds) of fn(*args) with host-transfer fencing.
+
+    The `iters` calls are dispatched back-to-back and fenced ONCE: the
+    device executes queued programs serially, so wall/iters is the true
+    per-call time plus 1/iters of the (tunnel) round-trip — fencing every
+    call instead adds the full ~40-200 ms RTT to each sample on the
+    remote-tunneled platform. Returns (seconds, last_output)."""
     out = None
     for _ in range(warmup):
         out = fn(*args, **kwargs)
         _sync(out)
-    times = []
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
         out = fn(*args, **kwargs)
-        _sync(out)
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times)), out
+    _sync(out)
+    return (time.perf_counter() - t0) / iters, out
 
 
 class StageTimes:

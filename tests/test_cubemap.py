@@ -86,3 +86,47 @@ def test_latlong_roundtrip():
     latlong = light_mod.export_envmap(smooth, (64, 128))
     back = light_mod.latlong_to_cubemap(latlong, 16)
     np.testing.assert_allclose(np.asarray(back), np.asarray(smooth), atol=0.05)
+
+
+def test_trilinear_specular_matches_dense_sum():
+    """The 2-adjacent-level flat-stack gather equals the naive all-level
+    weighted sum (the original formulation), values AND roughness/texture
+    gradients."""
+    from gi_gs_tpu.ops import shading
+
+    rng = np.random.RandomState(5)
+    specular = tuple(jnp.asarray(rng.rand(6, r, r, 3).astype(np.float32))
+                     for r in (32, 16, 8))
+    dirs = rng.randn(37, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = jnp.asarray(dirs)
+    mip = jnp.asarray(rng.rand(37, 1).astype(np.float32) * 2.4)
+
+    def dense(specular, mip):
+        L = len(specular)
+        m = jnp.clip(mip[..., 0], 0.0, L - 1)
+        lo = jnp.floor(m)
+        frac = (m - lo)[..., None]
+        out = jnp.zeros(dirs.shape[:-1] + (3,), jnp.float32)
+        for lvl in range(L):
+            w = (jnp.where(lo == lvl, 1.0 - frac[..., 0], 0.0) +
+                 jnp.where(lo == lvl - 1, frac[..., 0], 0.0))[..., None]
+            out = out + w * cm.sample_cubemap(specular[lvl], dirs)
+        return out
+
+    a = shading._trilinear_specular(specular, dirs, mip)
+    b = dense(specular, mip)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss_new(spec, m):
+        return (shading._trilinear_specular(spec, dirs, m) ** 2).sum()
+
+    def loss_old(spec, m):
+        return (dense(spec, m) ** 2).sum()
+
+    ga = jax.grad(loss_new, argnums=(0, 1))(specular, mip)
+    gb = jax.grad(loss_old, argnums=(0, 1))(specular, mip)
+    for x, y in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-6)
