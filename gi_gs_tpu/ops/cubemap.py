@@ -66,6 +66,32 @@ def texel_areas(res: int) -> np.ndarray:
     return (dx[None, :] * dx[:, None]).astype(np.float32)
 
 
+@jax.custom_vjp
+def take_rows3(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """flat [T, 3] gathered at idx [...] -> [..., 3], with a backward that
+    scatter-adds each channel SEPARATELY: XLA TPU scatter with [N, 3] row
+    updates runs ~10x slower than three scalar-update scatters (measured
+    12 vs 120 Mrow/s on v5e), and every texture-gradient in the PBR stack
+    funnels through this transpose."""
+    return flat[idx]
+
+
+def _take_rows3_fwd(flat, idx):
+    return flat[idx], (idx, flat.shape[0])
+
+
+def _take_rows3_bwd(res, g):
+    idx, T = res
+    idx_f = idx.reshape(-1)
+    g_f = g.reshape(-1, 3)
+    cols = [jnp.zeros((T,), g.dtype).at[idx_f].add(g_f[:, c])
+            for c in range(3)]
+    return jnp.stack(cols, axis=-1), None
+
+
+take_rows3.defvjp(_take_rows3_fwd, _take_rows3_bwd)
+
+
 def dir_to_face_uv(dirs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """dirs [..., 3] -> (face [...], fx [...], fy [...]) in [-1, 1]."""
     x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
@@ -109,7 +135,10 @@ def sample_cubemap(cubemap: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     base = face * R * R
 
     def fetch(vv, uu):
-        return flat[(base + vv.astype(jnp.int32) * R + uu.astype(jnp.int32))]
+        idx = base + vv.astype(jnp.int32) * R + uu.astype(jnp.int32)
+        if cubemap.shape[-1] == 3:
+            return take_rows3(flat, idx)
+        return flat[idx]
 
     c00 = fetch(v0, u0)
     c01 = fetch(v0, u1)
@@ -311,18 +340,12 @@ def _specular_apply_dense(cubemap: jnp.ndarray, M: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(cubemap.shape)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _specular_apply_patch(cubemap: jnp.ndarray, src_idx: jnp.ndarray,
-                          W: jnp.ndarray, h: int) -> jnp.ndarray:
-    """Locally-connected halo filter as a fori accumulation of shifted
-    elementwise products: out[f,y,x] = sum_p W[f,p,y,x] * padded[f, y+dy,
-    x+dx] with p = dy*P+dx. One [6,R,R,3]-sized multiply-add per offset
-    keeps everything in fused VPU ops; the previous im2col
-    (conv_general_dilated_patches + einsum) materialised [6,3,P^2,y,x]
-    patch tensors that XLA lowered ~30x slower. Hand VJP: W/src_idx are
-    constant tables, so the backward is the transpose correlation into
-    the halo-padded layout followed by a segment-sum over the halo map —
-    without it JAX rewrites the fori_loop as a residual-saving scan."""
+def _apply_patch_ref(cubemap: jnp.ndarray, src_idx: jnp.ndarray,
+                     W: jnp.ndarray, h: int) -> jnp.ndarray:
+    """jnp oracle for the patch filter: fori accumulation of shifted
+    elementwise products (one dependent dynamic-slice load per offset —
+    ~14x off the HBM roofline; kept as the test reference for the Pallas
+    kernels in pallas_patch.py)."""
     R = cubemap.shape[1]
     P = 2 * h + 1
     flat = cubemap.reshape(-1, 3)
@@ -339,27 +362,47 @@ def _specular_apply_patch(cubemap: jnp.ndarray, src_idx: jnp.ndarray,
                              jnp.zeros((6, R, R, 3), jnp.float32))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _specular_apply_patch(cubemap: jnp.ndarray, src_idx: jnp.ndarray,
+                          W: jnp.ndarray, h: int) -> jnp.ndarray:
+    """Locally-connected halo filter out[f,y,x] = sum_p W[f,p,y,x] *
+    padded[f, y+dy, x+dx] (p = dy*P+dx), via the Pallas streaming kernels
+    (pallas_patch.py; interpret mode on CPU). Hand VJP: W/src_idx are
+    constant tables, so the backward is the transpose correlation into
+    the halo-padded layout followed by a segment-sum over the halo map —
+    without it JAX would save per-offset residuals."""
+    from .pallas_patch import patch_apply_fwd
+    R = cubemap.shape[1]
+    P = 2 * h + 1
+    E = R + 2 * h
+    flat = cubemap.reshape(-1, 3)
+    # The halo map is the identity on each face's interior, so only the
+    # four border strips are gathered (~10x fewer rows than gathering the
+    # whole padded face; XLA TPU gather runs ~120 Mrow/s).
+    si = src_idx.reshape(6, E, E)
+    top = take_rows3(flat, si[:, :h, :])
+    bot = take_rows3(flat, si[:, h + R:, :])
+    left = take_rows3(flat, si[:, h:h + R, :h])
+    right = take_rows3(flat, si[:, h:h + R, h + R:])
+    mid = jnp.concatenate([left, cubemap, right], axis=2)
+    padded = jnp.concatenate([top, mid, bot], axis=1).transpose(0, 3, 1, 2)
+    out = patch_apply_fwd(W, padded, R, P, h)
+    return out.transpose(0, 2, 3, 1)
+
+
 def _sap_fwd(cubemap, src_idx, W, h):
     return _specular_apply_patch(cubemap, src_idx, W, h), \
         (cubemap.shape, src_idx, W)
 
 
 def _sap_bwd(h, res, g):
+    from .pallas_patch import patch_apply_bwd
     shape, src_idx, W = res
     R = shape[1]
     P = 2 * h + 1
 
-    def body(p, acc):
-        dy = p // P
-        dx = p - dy * P
-        wp = jax.lax.dynamic_slice(W, (0, p, 0, 0), (6, 1, R, R))
-        contrib = g * wp.transpose(0, 2, 3, 1)
-        cur = jax.lax.dynamic_slice(acc, (0, dy, dx, 0), (6, R, R, 3))
-        return jax.lax.dynamic_update_slice(acc, cur + contrib,
-                                            (0, dy, dx, 0))
-
-    padded_bar = jax.lax.fori_loop(
-        0, P * P, body, jnp.zeros((6, R + 2 * h, R + 2 * h, 3), jnp.float32))
+    padded_bar = patch_apply_bwd(W, g.transpose(0, 3, 1, 2), R, P, h)
+    padded_bar = padded_bar.transpose(0, 2, 3, 1)
     # The halo map is the identity on each face's interior (an extended
     # position that IS a real texel resolves to itself), so only the 2h
     # border ring needs the scatter — ~3-4x fewer scattered rows.

@@ -255,29 +255,32 @@ _DIR_UNROLL = 4  # directions per fori iteration in the coherent kernel
                  # (amortises the ~310-cycle Mosaic loop overhead)
 
 
-def _kernel_coherent(dirs_ref, fxy_ref, z_ref, rgb_ref, nrm_ref, pos_ref,
-                     occ_ref, dif_ref, *, h: int, w: int, p: GIParams,
-                     n_dirs: int, with_rgb: bool, ht: int, wt: int):
+def _kernel_coherent(dirs_ref, fxy_ref, offs_ref, z_ref, rgb_ref, nrm_ref,
+                     pos_ref, occ_ref, dif_ref, *, h: int, w: int,
+                     p: GIParams, n_dirs: int, with_rgb: bool, ht: int,
+                     wt: int):
     """Block-coherent fast path (GIParams.backend == "pallas").
 
     Approximation: per (pixel block, direction, march step) the fetched
     texel offset is computed once from the BLOCK-CENTRE pixel's geometry
-    (scalar math on the SPU) and applied uniformly — every pixel reads
-    z[pixel + offset_centre] instead of z[pixel + offset_pixel]. The hit
-    test itself stays exact per pixel (each pixel's own marched depth
-    spz). The positional error equals the within-block variation of the
-    offset field, which on smooth G-buffers is comparable to the +-0.5 px
-    rounding the CUDA march already applies; tests/test_pallas_gi.py
-    bounds the occlusion error against the exact kernel. Measured ~50x
-    faster than the exact serve-loop kernel at full sampling: every inner
-    loop is unrolled and there is no data-dependent control flow at all
-    (Mosaic loop iterations cost ~310 cycles, so per-(dir, step)
-    while-loops dominate any adaptive scheme)."""
+    and applied uniformly — every pixel reads z[pixel + offset_centre]
+    instead of z[pixel + offset_pixel]. The hit test itself stays exact
+    per pixel (each pixel's own marched depth spz). The positional error
+    equals the within-block variation of the offset field, which on
+    smooth G-buffers is comparable to the +-0.5 px rounding the CUDA
+    march already applies; tests/test_pallas_gi.py bounds the occlusion
+    error against the exact kernel. Measured ~50x faster than the exact
+    serve-loop kernel at full sampling: every inner loop is unrolled and
+    there is no data-dependent control flow at all (Mosaic loop
+    iterations cost ~310 cycles, so per-(dir, step) while-loops dominate
+    any adaptive scheme).
+
+    The centre offsets arrive PRECOMPUTED per (block, dir, step) in
+    `offs_ref` (packed (dy+K)*(2K)+(dx+K) int32, built vectorized by
+    _centre_offset_table): computing them in-kernel put a ~40-op scalar
+    dependency chain in front of every slab fetch."""
     by = pl.program_id(0)
     bx = pl.program_id(1)
-    fx = fxy_ref[0]
-    fy = fxy_ref[1]
-    cx, cy = w / 2.0, h / 2.0
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 0)
@@ -301,54 +304,20 @@ def _kernel_coherent(dirs_ref, fxy_ref, z_ref, rgb_ref, nrm_ref, pos_ref,
     posz = pos_ref[2]
     zsc = (1.0 + posz / 100.0) ** 2 * (p.radius / p.step)
 
-    # block-centre scalars (SPU side)
-    ci, cj = BH // 2, BW // 2
-    ncx = nrm_ref[0, ci, cj]
-    ncy = nrm_ref[1, ci, cj]
-    ncz = nrm_ref[2, ci, cj]
-    nlen = jnp.maximum(jnp.sqrt(ncx * ncx + ncy * ncy + ncz * ncz), 1e-20)
-    ncx, ncy, ncz = ncx / nlen, ncy / nlen, ncz / nlen
-    tcx, tcy, tcz = -ncx * ncy, 1.0 - ncy * ncy, -ncz * ncy
-    tlen = jnp.maximum(jnp.sqrt(tcx * tcx + tcy * tcy + tcz * tcz), 1e-20)
-    tcx, tcy, tcz = tcx / tlen, tcy / tlen, tcz / tlen
-    bcx = ncy * tcz - ncz * tcy
-    bcy = ncz * tcx - ncx * tcz
-    bcz = ncx * tcy - ncy * tcx
-    blen = jnp.maximum(jnp.sqrt(bcx * bcx + bcy * bcy + bcz * bcz), 1e-20)
-    bcx, bcy, bcz = bcx / blen, bcy / blen, bcz / blen
-    pcx = pos_ref[0, ci, cj]
-    pcy = pos_ref[1, ci, cj]
-    pcz = pos_ref[2, ci, cj]
-    zsc_c = (1.0 + pcz / 100.0) ** 2 * (p.radius / p.step)
-    px_c = jnp.float32(bx * BW + cj)
-    py_c = jnp.float32(by * BH + ci)
-
-    def rnd_s(x):
-        return jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5))
-
     def dir_once(d, occ, dif):
         ddx = dirs_ref[d, 0]
         ddy = dirs_ref[d, 1]
         ddz = dirs_ref[d, 2]
         wgt = dirs_ref[d, 3]
         svz = ddx * tz + ddy * bzv + ddz * nz          # [BH, BW]
-        scx = ddx * tcx + ddy * bcx + ddz * ncx        # scalars
-        scy = ddx * tcy + ddy * bcy + ddz * ncy
-        scz = ddx * tcz + ddy * bcz + ddz * ncz
 
         hit = jnp.zeros((BH, BW), jnp.bool_)
         dead = jnp.zeros((BH, BW), jnp.bool_)
         dif_d = (jnp.zeros((BH, BW), jnp.float32),) * 3
         for j in range(p.start, p.step):
-            tc = jnp.float32(j) * zsc_c
-            spx_c = pcx + scx * tc
-            spy_c = pcy + scy * tc
-            spz_c = pcz + scz * tc
-            zz_c = spz_c + 1e-7
-            dxc = rnd_s(spx_c / zz_c * fx + cx) - px_c
-            dyc = rnd_s(spy_c / zz_c * fy + cy) - py_c
-            dxc_i = jnp.clip(dxc, -_KOFF + 1, _KOFF - 1).astype(jnp.int32)
-            dyc_i = jnp.clip(dyc, -_KOFF + 1, _KOFF - 1).astype(jnp.int32)
+            key = offs_ref[0, 0, d, j - p.start]
+            dyc_i = key // (2 * _KOFF) - _KOFF
+            dxc_i = key % (2 * _KOFF) - _KOFF
             rs = jnp.clip(ROW_M + by * BH + dyc_i, 0, ht - 16)
             cs = jnp.clip(COL_M + bx * BW + dxc_i, 0, wt - 256)
             ra = (rs // 8) * 8
@@ -407,6 +376,58 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _centre_offset_table(nrm_p, pos_p, dirs, fx, fy, h, w, p: GIParams,
+                         grid) -> jnp.ndarray:
+    """Precompute the block-centre fetch offsets of the coherent kernel,
+    vectorized over (block, dir, step): returns packed int32
+    [nby, nbx, nd, nsteps] with key = (dy+K)*(2K)+(dx+K). Same f32 math
+    and operation order as the former in-kernel scalar chain."""
+    nby, nbx = grid
+    ci, cj = BH // 2, BW // 2
+    cx, cy = w / 2.0, h / 2.0
+    nc = nrm_p[:, ci::BH, cj::BW][:, :nby, :nbx]     # [3, nby, nbx]
+    pc = pos_p[:, ci::BH, cj::BW][:, :nby, :nbx]
+
+    def unit3(x, y, z):
+        n = jnp.maximum(jnp.sqrt(x * x + y * y + z * z), 1e-20)
+        return x / n, y / n, z / n
+
+    ncx, ncy, ncz = unit3(nc[0], nc[1], nc[2])
+    tcx, tcy, tcz = unit3(-ncx * ncy, 1.0 - ncy * ncy, -ncz * ncy)
+    bcx = ncy * tcz - ncz * tcy
+    bcy = ncz * tcx - ncx * tcz
+    bcz = ncx * tcy - ncy * tcx
+    bcx, bcy, bcz = unit3(bcx, bcy, bcz)
+    pcx, pcy, pcz = pc[0], pc[1], pc[2]
+    zsc_c = (1.0 + pcz / 100.0) ** 2 * (p.radius / p.step)  # [nby, nbx]
+    px_c = (jnp.arange(nbx, dtype=jnp.float32) * BW + cj)[None, :]
+    py_c = (jnp.arange(nby, dtype=jnp.float32) * BH + ci)[:, None]
+
+    d = dirs  # [nd, 4]
+    e = lambda a: a[None, None, :]          # [1, 1, nd]
+    b = lambda a: a[:, :, None]             # [nby, nbx, 1]
+    scx = e(d[:, 0]) * b(tcx) + e(d[:, 1]) * b(bcx) + e(d[:, 2]) * b(ncx)
+    scy = e(d[:, 0]) * b(tcy) + e(d[:, 1]) * b(bcy) + e(d[:, 2]) * b(ncy)
+    scz = e(d[:, 0]) * b(tcz) + e(d[:, 1]) * b(bcz) + e(d[:, 2]) * b(ncz)
+
+    def rnd(x):
+        return jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5))
+
+    keys = []
+    for j in range(p.start, p.step):
+        tc = jnp.float32(j) * b(zsc_c)
+        spx = b(pcx) + scx * tc
+        spy = b(pcy) + scy * tc
+        spz = b(pcz) + scz * tc
+        zz = spz + 1e-7
+        dxc = rnd(spx / zz * fx + cx) - px_c[..., None]
+        dyc = rnd(spy / zz * fy + cy) - py_c[..., None]
+        dxi = jnp.clip(dxc, -_KOFF + 1, _KOFF - 1).astype(jnp.int32)
+        dyi = jnp.clip(dyc, -_KOFF + 1, _KOFF - 1).astype(jnp.int32)
+        keys.append((dyi + _KOFF) * (2 * _KOFF) + (dxi + _KOFF))
+    return jnp.stack(keys, axis=-1)  # [nby, nbx, nd, nsteps]
+
+
 def _build_tables(pos_z, rgb, h, w):
     """z table f32 plus the RGB table packed as [2, ht, wt] f32 words:
     channel 0 carries (bf16(r) << 16 | bf16(g)) bit-packed (Mosaic's
@@ -459,25 +480,34 @@ def _march_pallas(normal_view, pos, rgb, fx, fy, p: GIParams,
     nrm_p = jnp.pad(normal_view, ((0, 0), (0, hp - h), (0, wp - w)))
     pos_p = jnp.pad(pos, ((0, 0), (0, hp - h), (0, wp - w)))
     fxy = jnp.asarray([fx, fy], jnp.float32)
+    grid = (hp // BH, wp // BW)
+
+    # index maps receive (grid indices..., *scalar-prefetch refs)
+    full = lambda i, j, *_: (0, 0)
+    full3 = lambda i, j, *_: (0, 0, 0)
+    blk = lambda i, j, *_: (0, i, j)
 
     if mode == "coherent":
         kernel = functools.partial(_kernel_coherent, h=h, w=w, p=p,
                                    n_dirs=nd, with_rgb=with_rgb,
                                    ht=ztab.shape[0], wt=ztab.shape[1])
+        offs = _centre_offset_table(nrm_p, pos_p, dirs, fx, fy, h, w, p,
+                                    grid)
+        extra_in = [offs]
+        extra_specs = [pl.BlockSpec((1, 1) + offs.shape[2:],
+                                    lambda i, j, *_: (i, j, 0, 0))]
     else:
         kernel = functools.partial(_kernel, h=h, w=w, p=p, n_dirs=nd,
                                    with_rgb=with_rgb)
-    grid = (hp // BH, wp // BW)
-    # index maps receive (grid indices..., *scalar-prefetch refs)
-    full = lambda i, j, *_: (0, 0)
-    full3 = lambda i, j, *_: (0, 0, 0)
-    blk = lambda i, j, *_: (0, i, j)
+        extra_in = []
+        extra_specs = []
+
     occ, dif = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[
+            in_specs=extra_specs + [
                 pl.BlockSpec(ztab.shape, full),
                 pl.BlockSpec(rgbtab.shape, full3),
                 pl.BlockSpec((3, BH, BW), blk),
@@ -493,7 +523,7 @@ def _march_pallas(normal_view, pos, rgb, fx, fy, p: GIParams,
             jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
         ],
         interpret=interpret,
-    )(dirs, fxy, ztab, rgbtab, nrm_p, pos_p)
+    )(dirs, fxy, *extra_in, ztab, rgbtab, nrm_p, pos_p)
     return occ[:h, :w], dif[:, :h, :w]
 
 

@@ -160,7 +160,7 @@ def _trilinear_specular(specular, dirs, mip):
 
         def fetch(vv, uu):
             idx = base + vv.astype(jnp.int32) * R + uu.astype(jnp.int32)
-            return flat[idx]
+            return cm.take_rows3(flat, idx)
 
         return (fetch(v0, u0) * (1 - du) * (1 - dv) +
                 fetch(v0, u1) * du * (1 - dv) +
