@@ -31,6 +31,9 @@ def main(argv=None):
         if os.path.exists(os.path.join(args.model_path or "",
                                        "cfg_args.json")) else config_mod.Config()
     cfg = config_mod.from_args(args, cfg)
+    if args.backend is None:
+        # Exact GI kernel for eval (see render_cli); --backend to opt out.
+        cfg.gi = cfg.gi._replace(backend="pallas_exact")
 
     ckpt_path = args.checkpoint
     if not ckpt_path:

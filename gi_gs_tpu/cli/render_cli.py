@@ -189,6 +189,11 @@ def main(argv=None):
         if os.path.exists(os.path.join(args.model_path or "",
                                        "cfg_args.json")) else config_mod.Config()
     cfg = config_mod.from_args(args, cfg)
+    if args.backend is None:
+        # Eval defaults to the EXACT GI kernel regardless of the training
+        # backend saved in cfg_args (the coherent kernel is a bounded
+        # training-speed approximation); pass --backend pallas to opt out.
+        cfg.gi = cfg.gi._replace(backend="pallas_exact")
 
     ckpt_path = args.checkpoint
     if not ckpt_path:

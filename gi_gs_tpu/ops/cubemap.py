@@ -113,32 +113,92 @@ def dir_to_face_uv(dirs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.nda
     return face, fx, fy
 
 
-def sample_cubemap(cubemap: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+@functools.lru_cache(maxsize=8)
+def _edge_index_map(res: int) -> np.ndarray:
+    """[6, res+2, res+2] int32 NUMPY (device conversion at use sites —
+    caching a jax array here would leak tracers when first touched inside
+    a transform): extended face positions (1-texel halo) resolved to the
+    nearest TRUE texel across the cube edge — the halo construction of
+    _patch_tables at h=1. Interior maps to itself."""
+    idx = (np.arange(-1, res + 1) + 0.5) / res * 2.0 - 1.0
+    fy, fx = np.meshgrid(idx, idx, indexing="ij")
+    one = np.ones_like(fx)
+    face_dirs = [
+        np.stack([one, -fy, -fx], -1), np.stack([-one, -fy, fx], -1),
+        np.stack([fx, one, fy], -1), np.stack([fx, -one, -fy], -1),
+        np.stack([fx, -fy, one], -1), np.stack([-fx, -fy, -one], -1)]
+    ext = np.stack(face_dirs, 0)
+    ext = ext / np.linalg.norm(ext, axis=-1, keepdims=True)
+    fc, fxx, fyy = _dir_to_face_uv_np(ext)
+    uu = np.clip(((fxx + 1) * 0.5 * res - 0.5).round(), 0, res - 1)
+    vv = np.clip(((fyy + 1) * 0.5 * res - 0.5).round(), 0, res - 1)
+    return (fc * res * res + vv * res + uu).astype(np.int32)
+
+
+def pad_cubemap(cubemap: jnp.ndarray) -> jnp.ndarray:
+    """[6, R, R, C] -> [6, R+2, R+2, C] with a 1-texel cross-face halo:
+    bilinear taps on the padded faces blend into the neighbour face at
+    seams, emulating nvdiffrast's `boundary_mode="cube"` seamless
+    filtering (pbr/shade.py:142-181) instead of edge clamping. One tiny
+    static border gather per call — zero per-pixel cost."""
+    R = cubemap.shape[1]
+    flat = cubemap.reshape(-1, cubemap.shape[-1])
+    emap = jnp.asarray(_edge_index_map(R))
+    gather = take_rows3 if cubemap.shape[-1] == 3 else (lambda f, i: f[i])
+    top = gather(flat, emap[:, 0:1, :])        # [6, 1, R+2, C]
+    bot = gather(flat, emap[:, R + 1:, :])
+    left = gather(flat, emap[:, 1:R + 1, 0:1])
+    right = gather(flat, emap[:, 1:R + 1, R + 1:])
+    mid = jnp.concatenate([left, cubemap, right], axis=2)
+    return jnp.concatenate([top, mid, bot], axis=1)
+
+
+def sample_cubemap(cubemap: jnp.ndarray, dirs: jnp.ndarray,
+                   seamless: bool = True) -> jnp.ndarray:
     """Bilinear cubemap lookup: cubemap [6, R, R, C], dirs [..., 3].
 
-    Face-local bilinear with edge clamping. Deviation from nvdiffrast's
-    seamless cube filtering: texels straddling a face edge clamp instead
-    of blending into the neighbour face (sub-texel effect at seams only).
-    """
+    seamless=True (default) blends across face edges through a 1-texel
+    cross-face halo (nvdiffrast `boundary_mode="cube"` emulation; the
+    halo texel is the nearest neighbour-face texel rather than
+    nvdiffrast's symmetric edge weighting — sub-texel difference confined
+    to the seam ring, bounded by tests/test_cubemap.py). seamless=False
+    clamps at face edges."""
     R = cubemap.shape[1]
     face, fx, fy = dir_to_face_uv(dirs)
     u = (fx + 1.0) * 0.5 * R - 0.5
     v = (fy + 1.0) * 0.5 * R - 0.5
-    u0 = jnp.clip(jnp.floor(u), 0, R - 1)
-    v0 = jnp.clip(jnp.floor(v), 0, R - 1)
-    u1 = jnp.clip(u0 + 1, 0, R - 1)
-    v1 = jnp.clip(v0 + 1, 0, R - 1)
-    du = jnp.clip(u - u0, 0.0, 1.0)
-    dv = jnp.clip(v - v0, 0.0, 1.0)
+    if seamless and R >= 2:
+        padded = pad_cubemap(cubemap)
+        u0 = jnp.clip(jnp.floor(u), -1, R - 1)
+        v0 = jnp.clip(jnp.floor(v), -1, R - 1)
+        u1, v1 = u0 + 1, v0 + 1
+        du = jnp.clip(u - u0, 0.0, 1.0)
+        dv = jnp.clip(v - v0, 0.0, 1.0)
+        flat = padded.reshape(-1, padded.shape[-1])
+        E = R + 2
+        base = face * E * E
 
-    flat = cubemap.reshape(-1, cubemap.shape[-1])
-    base = face * R * R
+        def fetch(vv, uu):
+            idx = base + (vv.astype(jnp.int32) + 1) * E + \
+                uu.astype(jnp.int32) + 1
+            if padded.shape[-1] == 3:
+                return take_rows3(flat, idx)
+            return flat[idx]
+    else:
+        u0 = jnp.clip(jnp.floor(u), 0, R - 1)
+        v0 = jnp.clip(jnp.floor(v), 0, R - 1)
+        u1 = jnp.clip(u0 + 1, 0, R - 1)
+        v1 = jnp.clip(v0 + 1, 0, R - 1)
+        du = jnp.clip(u - u0, 0.0, 1.0)
+        dv = jnp.clip(v - v0, 0.0, 1.0)
+        flat = cubemap.reshape(-1, cubemap.shape[-1])
+        base = face * R * R
 
-    def fetch(vv, uu):
-        idx = base + vv.astype(jnp.int32) * R + uu.astype(jnp.int32)
-        if cubemap.shape[-1] == 3:
-            return take_rows3(flat, idx)
-        return flat[idx]
+        def fetch(vv, uu):
+            idx = base + vv.astype(jnp.int32) * R + uu.astype(jnp.int32)
+            if cubemap.shape[-1] == 3:
+                return take_rows3(flat, idx)
+            return flat[idx]
 
     c00 = fetch(v0, u0)
     c01 = fetch(v0, u1)
@@ -156,12 +216,16 @@ def sample_cubemap(cubemap: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
 
 @jax.custom_vjp
 def cubemap_mip(cubemap: jnp.ndarray) -> jnp.ndarray:
-    """2x2 average-pool per face. Backward replicates the reference's
-    bilinear-redistribution (dr.texture of 0.25*dout at fine-texel dirs,
-    pbr/light.py:62-79) instead of the avgpool transpose."""
+    """2x2 average-pool per face (reshape-mean form: the strided-slice
+    form cost ~7 ms for the 256->16 chain on v5e — four relayouts per
+    level). Backward replicates the reference's bilinear-redistribution
+    (dr.texture of 0.25*dout at fine-texel dirs, pbr/light.py:62-79)
+    instead of the avgpool transpose."""
     c = cubemap
-    return 0.25 * (c[:, 0::2, 0::2] + c[:, 0::2, 1::2] +
-                   c[:, 1::2, 0::2] + c[:, 1::2, 1::2])
+    R = c.shape[1]
+    c = c.reshape(6, R // 2, 2, R // 2, 2, c.shape[-1])
+    return 0.25 * (c[:, :, 0, :, 0] + c[:, :, 0, :, 1] +
+                   c[:, :, 1, :, 0] + c[:, :, 1, :, 1])
 
 
 def _mip_fwd(cubemap):

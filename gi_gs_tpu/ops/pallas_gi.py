@@ -425,6 +425,8 @@ def _centre_offset_table(nrm_p, pos_p, dirs, fx, fy, h, w, p: GIParams,
         dxi = jnp.clip(dxc, -_KOFF + 1, _KOFF - 1).astype(jnp.int32)
         dyi = jnp.clip(dyc, -_KOFF + 1, _KOFF - 1).astype(jnp.int32)
         keys.append((dyi + _KOFF) * (2 * _KOFF) + (dxi + _KOFF))
+    if not keys:  # degenerate start >= step: empty march, table unread
+        return jnp.zeros((nby, nbx, dirs.shape[0], 1), jnp.int32)
     return jnp.stack(keys, axis=-1)  # [nby, nbx, nd, nsteps]
 
 

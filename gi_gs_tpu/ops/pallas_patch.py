@@ -35,60 +35,48 @@ def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
-def _block_p(R: int) -> int:
-    """Offsets per W block: ~1 MB of W per DMA."""
-    return max(1, (1 << 20) // (R * R * 4))
-
-
-def _fwd_kernel(w_ref, pad_ref, out_ref, *, R: int, P: int, pb: int,
+def _fwd_kernel(w_ref, pad_ref, out_ref, *, R: int, P: int,
                 Er: int, Ec: int):
-    pi = pl.program_id(1)
+    """Grid step = one dy-row of offsets (W block [1, P, R, R]): dy equals
+    the grid index, so ONE dynamic row-roll per step; the P dx offsets
+    are STATIC slice starts. Dynamic pltpu.roll lowers to log-stage
+    selects (~8 ops/elem — it dominated the first version of this kernel
+    at 39 GB/s); static slices are plain shifts."""
+    dy = pl.program_id(1)
 
-    @pl.when(pi == 0)
+    @pl.when(dy == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
     big = pad_ref[0]                      # [3, Er, Ec]
+    rolled = pltpu.roll(big, (Er - dy % Er) % Er, 1)  # rows shifted by dy
 
-    def body(u, acc):
-        p = pi * pb + u
-        dy = p // P
-        dx = p - dy * P
-        rolled = pltpu.roll(big, (Er - dy % Er) % Er, 1)
-        rolled = pltpu.roll(rolled, (Ec - dx % Ec) % Ec, 2)
-        win = rolled[:, :R, :R]
-        return acc + win * w_ref[0, u][None]
-
-    acc = jax.lax.fori_loop(0, pb, body,
-                            jnp.zeros((3, R, R), jnp.float32))
+    acc = jnp.zeros((3, R, R), jnp.float32)
+    for u in range(P):
+        win = rolled[:, :R, u:u + R]
+        acc = acc + win * w_ref[0, u][None]
     out_ref[...] = out_ref[...] + acc[None]
 
 
-def _bwd_kernel(w_ref, g_ref, out_ref, *, R: int, P: int, pb: int,
+def _bwd_kernel(w_ref, g_ref, out_ref, *, R: int, P: int,
                 Er: int, Ec: int):
-    pi = pl.program_id(1)
+    """Transpose of _fwd_kernel with the same static-dx structure: the P
+    static-x placements accumulate into a local [3, Er - ?]-wide buffer,
+    then one dynamic row-roll lands the whole row block at dy."""
+    dy = pl.program_id(1)
 
-    @pl.when(pi == 0)
+    @pl.when(dy == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
     g = g_ref[0]                          # [3, R, R]
-
-    def body(u, acc):
-        p = pi * pb + u
-        dy = p // P
-        dx = p - dy * P
+    acc = jnp.zeros((3, Er, Ec), jnp.float32)
+    for u in range(P):
         c = g * w_ref[0, u][None]
-        cpad = jnp.pad(c, ((0, 0), (0, Er - R), (0, Ec - R)))
-        # Place at (dy, dx): dy, dx <= 2h and R + 2h <= Er/Ec, so the
-        # roll never wraps content (zero-weight padding rows may wrap,
-        # contributing exact zeros).
-        cpad = pltpu.roll(cpad, dy % Er, 1)
-        cpad = pltpu.roll(cpad, dx % Ec, 2)
-        return acc + cpad
-
-    acc = jax.lax.fori_loop(0, pb, body,
-                            jnp.zeros((3, Er, Ec), jnp.float32))
+        acc = acc + jnp.pad(c, ((0, 0), (0, Er - R), (u, Ec - R - u)))
+    # Place the row block at dy: dy <= 2h and R + 2h <= Er, so content
+    # never wraps (trailing alignment rows are zero).
+    acc = pltpu.roll(acc, dy % Er, 1)
     out_ref[...] = out_ref[...] + acc[None]
 
 
@@ -106,22 +94,19 @@ def patch_apply_fwd(W: jnp.ndarray, padded: jnp.ndarray, R: int, P: int,
     Er = _round_up(E, 8)
     Ec = _round_up(E, 128)
     pad_in = jnp.pad(padded, ((0, 0), (0, 0), (0, Er - E), (0, Ec - E)))
-    pb = _block_p(R)
-    n_blocks = -(-P * P // pb)
-    Wp = jnp.pad(W, ((0, 0), (0, n_blocks * pb - P * P), (0, 0), (0, 0)))
 
-    kernel = functools.partial(_fwd_kernel, R=R, P=P, pb=pb, Er=Er, Ec=Ec)
+    kernel = functools.partial(_fwd_kernel, R=R, P=P, Er=Er, Ec=Ec)
     out = pl.pallas_call(
         kernel,
-        grid=(6, n_blocks),
+        grid=(6, P),
         in_specs=[
-            pl.BlockSpec((1, pb, R, R), lambda f, p: (f, p, 0, 0)),
-            pl.BlockSpec((1, 3, Er, Ec), lambda f, p: (f, 0, 0, 0)),
+            pl.BlockSpec((1, P, R, R), lambda f, dy: (f, dy, 0, 0)),
+            pl.BlockSpec((1, 3, Er, Ec), lambda f, dy: (f, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 3, R, R), lambda f, p: (f, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, 3, R, R), lambda f, dy: (f, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((6, 3, R, R), jnp.float32),
         interpret=interpret,
-    )(Wp, pad_in)
+    )(W, pad_in)
     return out
 
 
@@ -135,20 +120,17 @@ def patch_apply_bwd(W: jnp.ndarray, g: jnp.ndarray, R: int, P: int,
     E = R + 2 * h
     Er = _round_up(E, 8)
     Ec = _round_up(E, 128)
-    pb = _block_p(R)
-    n_blocks = -(-P * P // pb)
-    Wp = jnp.pad(W, ((0, 0), (0, n_blocks * pb - P * P), (0, 0), (0, 0)))
 
-    kernel = functools.partial(_bwd_kernel, R=R, P=P, pb=pb, Er=Er, Ec=Ec)
+    kernel = functools.partial(_bwd_kernel, R=R, P=P, Er=Er, Ec=Ec)
     out = pl.pallas_call(
         kernel,
-        grid=(6, n_blocks),
+        grid=(6, P),
         in_specs=[
-            pl.BlockSpec((1, pb, R, R), lambda f, p: (f, p, 0, 0)),
-            pl.BlockSpec((1, 3, R, R), lambda f, p: (f, 0, 0, 0)),
+            pl.BlockSpec((1, P, R, R), lambda f, dy: (f, dy, 0, 0)),
+            pl.BlockSpec((1, 3, R, R), lambda f, dy: (f, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 3, Er, Ec), lambda f, p: (f, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, 3, Er, Ec), lambda f, dy: (f, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((6, 3, Er, Ec), jnp.float32),
         interpret=interpret,
-    )(Wp, g)
+    )(W, g)
     return out[:, :, :E, :E]

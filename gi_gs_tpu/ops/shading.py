@@ -131,9 +131,13 @@ def _trilinear_specular(specular, dirs, mip):
     it actually uses — sampling every level densely (the naive form)
     costs 4L gathers forward and, worse, L full scatter-adds backward."""
     L = len(specular)
+    # Seamless: each level is halo-padded once (cm.pad_cubemap), so the
+    # flat stack holds (R_l+2)^2 faces and edge taps blend across faces.
+    padded = [cm.pad_cubemap(s) for s in specular]
     ress = np.array([s.shape[1] for s in specular], np.int64)
-    offs = np.concatenate([[0], np.cumsum(6 * ress * ress)]).astype(np.int32)
-    flat = jnp.concatenate([s.reshape(-1, 3) for s in specular], axis=0)
+    exts = ress + 2
+    offs = np.concatenate([[0], np.cumsum(6 * exts * exts)]).astype(np.int32)
+    flat = jnp.concatenate([s.reshape(-1, 3) for s in padded], axis=0)
     ress_j = jnp.asarray(ress.astype(np.int32))
     offs_j = jnp.asarray(offs[:-1])
 
@@ -148,24 +152,24 @@ def _trilinear_specular(specular, dirs, mip):
     def sample_level(lvl):
         R = ress_j[lvl]                       # per-pixel int32
         Rf = R.astype(jnp.float32)
-        base = offs_j[lvl] + face * R * R
+        E = R + 2
+        base = offs_j[lvl] + face * E * E
         u = (fx + 1.0) * 0.5 * Rf - 0.5
         v = (fy + 1.0) * 0.5 * Rf - 0.5
-        u0 = jnp.clip(jnp.floor(u), 0, Rf - 1)
-        v0 = jnp.clip(jnp.floor(v), 0, Rf - 1)
-        u1 = jnp.clip(u0 + 1, 0, Rf - 1)
-        v1 = jnp.clip(v0 + 1, 0, Rf - 1)
+        u0 = jnp.clip(jnp.floor(u), -1, Rf - 1)
+        v0 = jnp.clip(jnp.floor(v), -1, Rf - 1)
         du = jnp.clip(u - u0, 0.0, 1.0)[..., None]
         dv = jnp.clip(v - v0, 0.0, 1.0)[..., None]
 
         def fetch(vv, uu):
-            idx = base + vv.astype(jnp.int32) * R + uu.astype(jnp.int32)
+            idx = base + (vv.astype(jnp.int32) + 1) * E + \
+                uu.astype(jnp.int32) + 1
             return cm.take_rows3(flat, idx)
 
         return (fetch(v0, u0) * (1 - du) * (1 - dv) +
-                fetch(v0, u1) * du * (1 - dv) +
-                fetch(v1, u0) * (1 - du) * dv +
-                fetch(v1, u1) * du * dv)
+                fetch(v0, u0 + 1) * du * (1 - dv) +
+                fetch(v0 + 1, u0) * (1 - du) * dv +
+                fetch(v0 + 1, u0 + 1) * du * dv)
 
     return sample_level(lo_i) * (1.0 - frac) + sample_level(hi_i) * frac
 

@@ -156,3 +156,40 @@ def test_patch_kernels_match_ref():
     g_ref = jax.grad(lambda c: loss(c, _apply_patch_ref))(cmap)
     np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_seamless_vs_clamp_quantified():
+    """Seamless (cross-face halo) vs the old edge-clamp sampling:
+    identical away from seams, bounded sub-texel difference on the seam
+    ring, and continuity across the seam (VERDICT r2 item 9; nvdiffrast
+    boundary_mode='cube', /root/reference/pbr/shade.py:142-181)."""
+    rng = np.random.RandomState(11)
+    R = 32
+    cmap = jnp.asarray(rng.rand(6, R, R, 3).astype(np.float32))
+
+    # Random dirs: interior (away from any face edge) must match exactly.
+    d = rng.randn(4096, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    s = np.asarray(cm.sample_cubemap(cmap, jnp.asarray(d), seamless=True))
+    c = np.asarray(cm.sample_cubemap(cmap, jnp.asarray(d), seamless=False))
+    _, fx, fy = cm.dir_to_face_uv(jnp.asarray(d))
+    interior = (np.abs(np.asarray(fx)) < 1.0 - 1.5 / R) & \
+               (np.abs(np.asarray(fy)) < 1.0 - 1.5 / R)
+    assert interior.sum() > 2000
+    np.testing.assert_allclose(s[interior], c[interior], rtol=1e-6)
+
+    # Seam ring: difference is bounded by the local texel contrast.
+    diff = np.abs(s - c).max(-1)
+    assert diff[~interior].max() < 1.0  # bounded by value range
+    assert np.median(diff[~interior]) < 0.25
+
+    # Continuity: walking across an edge, seamless steps stay small while
+    # clamp jumps at the crossing.
+    t = np.linspace(-0.15, 0.15, 201, dtype=np.float32)
+    walk = np.stack([np.ones_like(t), t * 2.0, 0.3 * np.ones_like(t)], -1)
+    walk /= np.linalg.norm(walk, axis=1, keepdims=True)
+    sv = np.asarray(cm.sample_cubemap(cmap, jnp.asarray(walk),
+                                      seamless=True))
+    steps = np.abs(np.diff(sv, axis=0)).max()
+    # max per-sample step bounded by bilinear smoothness of the halo path
+    assert steps < 0.35, steps

@@ -1,0 +1,322 @@
+"""Synthetic end-to-end quality gate (self-recovery protocol).
+
+No datasets exist in this environment, so end-to-end training quality is
+validated by self-recovery: render ground-truth images from a KNOWN
+Gaussian scene (and, for phase 2, a known envmap + albedo/roughness)
+through the framework's own forward, then train from a degraded init and
+assert the optimization recovers the scene to hard numeric bars. This
+exercises the full stack the way the reference's metric protocol does
+(/root/reference/render.py:379-395,496-635) — losses, gradients through
+the Pallas kernels, densification surgery, the optimizer schedules, and
+the PBR/light decomposition — without external data.
+
+Run:  python tools/quality_gate.py            (writes QUALITY_r03.json)
+Test: tests/test_quality.py (slow) runs reduced configs via these fns.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+_T0 = time.time()
+
+
+def log(m):
+    print(f"[quality +{time.time() - _T0:6.1f}s] {m}", file=sys.stderr,
+          flush=True)
+
+
+def ring_cameras(n, size, dist=3.0, fov=0.9, tilt=0.25):
+    """n cameras on a tilted ring looking at the origin."""
+    from gi_gs_tpu.scene.cameras import make_camera
+    cams = []
+    for i in range(n):
+        ang = 2.0 * np.pi * i / n
+        p = np.array([dist * np.sin(ang),
+                      dist * np.sin(tilt) * np.sin(2 * ang),
+                      -dist * np.cos(ang)], np.float32)
+        fwd = -p / np.linalg.norm(p)
+        right = np.cross([0.0, 1.0, 0.0], fwd)
+        right /= np.linalg.norm(right)
+        up = np.cross(fwd, right)
+        Rw2c = np.stack([right, up, fwd])          # rows
+        T = -Rw2c @ p
+        cams.append(make_camera(R=Rw2c.T, T=T, fovx=fov, fovy=fov,
+                                width=size, height=size))
+    return cams
+
+
+def make_gt_scene(n=800, seed=0, capacity=4096):
+    """Known Gaussian blob: sphere shell with smooth colors, outward
+    normals, spatially-varying albedo, constant roughness."""
+    import jax.numpy as jnp
+    from gi_gs_tpu.models.gaussians import create_from_points
+    from gi_gs_tpu.utils.math_utils import inverse_sigmoid
+
+    rng = np.random.RandomState(seed)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    r = 0.7 * (1.0 + 0.08 * rng.standard_normal(n).astype(np.float32))
+    pts = d * r[:, None]
+    colors = 0.5 + 0.4 * np.stack([np.sin(3 * pts[:, 0]),
+                                   np.cos(4 * pts[:, 1]),
+                                   np.sin(2 * pts[:, 2] + 1.0)], -1)
+    colors = np.clip(colors, 0.05, 0.95).astype(np.float32)
+    params = create_from_points(pts, colors, capacity=capacity)
+
+    albedo = 0.5 + 0.35 * np.stack([np.cos(2 * pts[:, 1]),
+                                    np.sin(3 * pts[:, 2]),
+                                    np.cos(3 * pts[:, 0] + 0.5)], -1)
+    albedo = np.clip(albedo, 0.1, 0.9).astype(np.float32)
+
+    def pad(x, fill):
+        out = np.full((capacity,) + x.shape[1:], fill, np.float32)
+        out[:n] = x
+        return jnp.asarray(out)
+
+    params = params.replace(
+        opacity=jnp.full_like(params.opacity, inverse_sigmoid(0.9)),
+        normal=pad(d, 0.0).at[n:, 2].set(1.0),
+        albedo=pad(inverse_sigmoid(np.clip(albedo, 0.02, 0.98)), 1.0),
+        roughness=jnp.full_like(params.roughness, inverse_sigmoid(0.4)),
+        metallic=jnp.full_like(params.metallic, inverse_sigmoid(0.02)),
+    )
+    return params
+
+
+def make_gt_envmap(res=64, seed=3):
+    """Smooth positive envmap: ambient + directional sky + a bright blob."""
+    import jax.numpy as jnp
+    from gi_gs_tpu.ops.cubemap import texel_dirs
+    d = texel_dirs(res)  # [6, R, R, 3]
+    sky = np.clip(d[..., 1:2], 0, 1) * np.array([0.4, 0.5, 0.7])
+    sun_dir = np.array([0.5, 0.6, -0.6])
+    sun_dir /= np.linalg.norm(sun_dir)
+    sun = np.exp((d @ sun_dir - 1.0) * 12.0)[..., None] * \
+        np.array([1.8, 1.5, 1.0])
+    amb = np.array([0.15, 0.14, 0.12])
+    return jnp.asarray((amb + sky + sun).astype(np.float32))
+
+
+def _split_ring(cams, n_test):
+    """Interleaved train/test split: every k-th ring view is held out
+    (a contiguous held-out arc would test extrapolation, not NVS)."""
+    k = max(len(cams) // max(n_test, 1), 2)
+    test = cams[k - 1::k][:n_test]
+    train = [c for c in cams if all(c is not t for t in test)]
+    return train, test
+
+
+def _build_cfg(size, capacity, light_res, gi_backend="pallas"):
+    from gi_gs_tpu.config import (Config, ModelConfig, OptimizationConfig,
+                                  TrainConfig)
+    from gi_gs_tpu.ops.rasterize import RasterConfig
+    from gi_gs_tpu.ops.screen_space import GIParams
+    cfg = Config()
+    cfg.model = ModelConfig(capacity=capacity)
+    cfg.opt = OptimizationConfig()
+    cfg.train = TrainConfig(light_base_res=light_res, indirect=True)
+    cfg.raster = RasterConfig(tile_h=8, tile_w=32 if size <= 64 else 64,
+                              cap_tile=1024, chunk=32)
+    cfg.gi = GIParams(backend=gi_backend)
+    return cfg
+
+
+def _psnr(a, b):
+    import jax.numpy as jnp
+    from gi_gs_tpu.utils import image_utils
+    return float(image_utils.psnr(jnp.clip(a, 0, 1), jnp.clip(b, 0, 1)))
+
+
+def run_phase1_gate(size=128, iters=4000, n_train=16, n_test=4,
+                    capacity=8192, n_gauss=800, jitter=0.04,
+                    keep_frac=0.6, seed=0):
+    """Render GT from a known scene, re-fit from jittered/subsampled
+    points with the full phase-1 schedule (densification ON), report
+    held-out PSNR."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from gi_gs_tpu.models.gaussians import create_from_points
+    from gi_gs_tpu.renderer import render
+    from gi_gs_tpu.train import trainer
+    from gi_gs_tpu.train.optim import build_optimizer
+
+    cfg = _build_cfg(size, capacity, 64)
+    gt = make_gt_scene(n=n_gauss, seed=seed, capacity=capacity)
+    train_cams, test_cams = _split_ring(ring_cameras(n_train + n_test,
+                                                     size), n_test)
+    bg = jnp.zeros(3)
+
+    render_fn = jax.jit(lambda p, c: jnp.clip(render(
+        c, p, bg, cfg.raster, cfg.gi, derive_normal=False,
+        compute_occlusion=False)["render"], 0.0, 1.0))
+    gt_train = [render_fn(gt, c) for c in train_cams]
+    gt_test = [render_fn(gt, c) for c in test_cams]
+    log(f"phase1 GT rendered ({n_train}+{n_test} views @ {size}px)")
+
+    # Degraded init: subsampled, jittered points with colorless SH.
+    rng = np.random.RandomState(seed + 1)
+    pts = np.asarray(gt.xyz[:n_gauss])
+    keep = rng.rand(n_gauss) < keep_frac
+    pts = pts[keep] + rng.normal(scale=jitter, size=(keep.sum(), 3)) \
+        .astype(np.float32)
+    cols = np.full((len(pts), 3), 0.5, np.float32)
+    params = create_from_points(pts, cols, capacity=capacity)
+
+    cap_i = trainer.probe_cap_instances(cfg, gt, train_cams)
+    cfg.raster = dataclasses.replace(cfg.raster, cap_instances=cap_i)
+    state = trainer.make_train_state(cfg, params, spatial_lr_scale=1.0)
+    tx = build_optimizer(cfg.opt, 1.0)
+    step = trainer.make_phase1_step(cfg, cameras_extent=1.5, tx=tx)
+
+    alphas = jnp.ones((1, size, size), jnp.float32)
+    order = []
+    for it in range(1, iters + 1):
+        if it % 1000 == 0:
+            state = state._replace(params=state.params.one_up_sh_degree())
+        if not order:
+            order = list(rng.permutation(len(train_cams)))
+        vi = int(order.pop())
+        state, aux = step(state, train_cams[vi], gt_train[vi], alphas, bg,
+                          jnp.int32(it))
+        if it % 500 == 0 or it == 1:
+            log(f"phase1 it {it}: loss {float(aux.loss):.4f} "
+                f"psnr {float(aux.psnr):.2f} "
+                f"alive {int(np.asarray(state.params.alive.sum()))}")
+
+    test_psnrs = [_psnr(render_fn(state.params, c), g)
+                  for c, g in zip(test_cams, gt_test)]
+    out = {"test_psnr": float(np.mean(test_psnrs)),
+           "test_psnr_min": float(np.min(test_psnrs)),
+           "iters": iters, "size": size,
+           "alive": int(np.asarray(state.params.alive.sum()))}
+    log(f"phase1 gate: {out}")
+    return out
+
+
+def run_phase2_gate(size=128, iters=800, n_train=16, n_test=4,
+                    capacity=4096, n_gauss=800, light_res=64, seed=0):
+    """Known geometry + known envmap + known albedo: re-fit albedo,
+    roughness and the cubemap from scratch with the phase-2 step; report
+    median-ratio albedo PSNR and envmap correlation."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from gi_gs_tpu.models.light import export_envmap
+    from gi_gs_tpu.renderer import render
+    from gi_gs_tpu.train import trainer
+    from gi_gs_tpu.train.optim import build_light_optimizer, build_optimizer
+    from gi_gs_tpu.utils.math_utils import inverse_sigmoid
+
+    cfg = _build_cfg(size, capacity, light_res)
+    gt = make_gt_scene(n=n_gauss, seed=seed, capacity=capacity)
+    gt_env = make_gt_envmap(light_res, seed=3)
+    train_cams, test_cams = _split_ring(ring_cameras(n_train + n_test,
+                                                     size), n_test)
+    bg = jnp.zeros(3)
+
+    cap_i = trainer.probe_cap_instances(cfg, gt, train_cams)
+    cfg.raster = dataclasses.replace(cfg.raster, cap_instances=cap_i)
+
+    # GT renders through the SAME forward the phase-2 loss sees.
+    from gi_gs_tpu.models.light import build_mips_packed, build_prefilter_tables
+    from gi_gs_tpu.ops.shading import get_brdf_lut
+    brdf_lut = get_brdf_lut()
+    spec, arrays = build_prefilter_tables(light_res)
+
+    @jax.jit
+    def fwd_rgb(params, cubemap, cam):
+        light = build_mips_packed(cubemap, spec, arrays)
+        vd = trainer.compute_view_dirs(cam)
+        ndc = jnp.zeros((params.capacity, 2), jnp.float32)
+        _, aux = trainer.phase2_view_loss(
+            cfg, brdf_lut, light, params, ndc, cam,
+            jnp.zeros((3, size, size)), jnp.ones((1, size, size)), bg, vd)
+        return jnp.clip(aux["render"], 0.0, 1.0)
+
+    gt_train = [fwd_rgb(gt, gt_env, c) for c in train_cams]
+    log(f"phase2 GT rendered ({n_train}+{n_test} views @ {size}px)")
+
+    albedo_fn = jax.jit(lambda p, c: render(
+        c, p, bg, cfg.raster, cfg.gi, derive_normal=False,
+        compute_occlusion=False))
+    gt_alb = [np.asarray(albedo_fn(gt, c)["albedo_map"]) for c in test_cams]
+    gt_msk = [np.asarray(albedo_fn(gt, c)["opacity_map"][0]) > 0.5
+              for c in test_cams]
+
+    # Init: GT geometry/SH, reference BRDF raw init (=1.0), fresh cubemap.
+    params = gt.replace(
+        albedo=jnp.ones_like(gt.albedo),
+        roughness=jnp.ones_like(gt.roughness),
+        metallic=jnp.ones_like(gt.metallic) * inverse_sigmoid(0.02))
+    cfg.opt = dataclasses.replace(cfg.opt, densify_from_iter=10 ** 9)
+    state = trainer.make_train_state(cfg, params, spatial_lr_scale=1.0,
+                                     seed=seed)
+    tx = build_optimizer(cfg.opt, 1.0)
+    ltx = build_light_optimizer(cfg.opt)
+    step = trainer.make_phase2_step(cfg, cameras_extent=1.5, tx=tx, ltx=ltx)
+
+    alphas = jnp.ones((1, size, size), jnp.float32)
+    rng = np.random.RandomState(seed + 2)
+    order = []
+    for it in range(1, iters + 1):
+        if not order:
+            order = list(rng.permutation(len(train_cams)))
+        vi = int(order.pop())
+        state, aux = step(state, train_cams[vi], gt_train[vi], alphas, bg,
+                          jnp.int32(it))
+        if it % 200 == 0 or it == 1:
+            log(f"phase2 it {it}: loss {float(aux.loss):.4f} "
+                f"psnr {float(aux.psnr):.2f}")
+
+    # Albedo recovery (TensoIR median-ratio protocol, render.py:583-633).
+    pr_alb = [np.asarray(albedo_fn(state.params, c)["albedo_map"])
+              for c in test_cams]
+    all_gt = np.concatenate([a.transpose(1, 2, 0)[m]
+                             for a, m in zip(gt_alb, gt_msk)], 0)
+    all_pr = np.concatenate([a.transpose(1, 2, 0)[m]
+                             for a, m in zip(pr_alb, gt_msk)], 0)
+    ratio = np.median(all_gt / np.clip(all_pr, 1e-6, None), axis=0)
+    alb_psnrs = []
+    for g, p, m in zip(gt_alb, pr_alb, gt_msk):
+        pm = np.clip(p.transpose(1, 2, 0) * ratio, 0, 1) * m[..., None]
+        gm = g.transpose(1, 2, 0) * m[..., None]
+        mse = float(((pm - gm) ** 2).mean())
+        alb_psnrs.append(10.0 * np.log10(1.0 / max(mse, 1e-10)))
+
+    # Envmap recovery: correlation of the exported lat-longs (scale-free).
+    env_pr = np.asarray(export_envmap(state.cubemap, (64, 128))).ravel()
+    env_gt = np.asarray(export_envmap(gt_env, (64, 128))).ravel()
+    corr = float(np.corrcoef(env_pr, env_gt)[0, 1])
+
+    out = {"albedo_psnr": float(np.mean(alb_psnrs)),
+           "albedo_ratio": ratio.tolist(),
+           "env_corr": corr, "iters": iters, "size": size}
+    log(f"phase2 gate: {out}")
+    return out
+
+
+def main():
+    import jax
+    log(f"devices: {jax.devices()}")
+    p1 = run_phase1_gate()
+    p2 = run_phase2_gate()
+    result = {"phase1": p1, "phase2": p2,
+              "bars": {"phase1_test_psnr": 30.0, "phase2_albedo_psnr": 22.0,
+                       "phase2_env_corr": 0.9},
+              "pass": bool(p1["test_psnr"] >= 30.0 and
+                           p2["albedo_psnr"] >= 22.0 and
+                           p2["env_corr"] >= 0.9)}
+    with open("QUALITY_r03.json", "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
