@@ -7,6 +7,7 @@ like the reference (mip chain -> diffuse irradiance at the coarsest level
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import List, NamedTuple, Optional, Tuple
 
@@ -73,6 +74,83 @@ def export_envmap(base: jnp.ndarray, res: List[int] = (512, 1024)) -> jnp.ndarra
     """Cubemap -> lat-long image [H, W, 3]
     (ref CubemapLight.export_envmap, pbr/light.py:172-208)."""
     return cm.sample_cubemap(base, envmap_dirs(res))
+
+
+@functools.lru_cache(maxsize=4)
+def _latlong_struct(res_cube: int, h: int, w: int):
+    """Static tap structure (numpy) for sampling the lat-long grid from a
+    [6, R, R, 3] cubemap with the seamless bilinear rule: tap texel ids
+    [HW, 4] + weights [HW, 4], plus the sorted-by-texel permutation and
+    segment bounds that make the TRANSPOSE a gather+cumsum instead of a
+    scatter (the lat-long dirs are FIXED, so everything here is
+    trace-time constant; XLA TPU scatter runs ~3x slower than this)."""
+    R = res_cube
+    gy, gx = np.meshgrid(
+        np.linspace(0.0 + 1.0 / h, 1.0 - 1.0 / h, h),
+        np.linspace(-1.0 + 1.0 / w, 1.0 - 1.0 / w, w), indexing="ij")
+    st, ct = np.sin(gy * np.pi), np.cos(gy * np.pi)
+    sp, cp = np.sin(gx * np.pi), np.cos(gx * np.pi)
+    dirs = np.stack((st * sp, ct, -st * cp), axis=-1).reshape(-1, 3)
+
+    face, fx, fy = cm._dir_to_face_uv_np(dirs.astype(np.float32))
+    u = (fx + 1.0) * 0.5 * R - 0.5
+    v = (fy + 1.0) * 0.5 * R - 0.5
+    u0 = np.clip(np.floor(u), -1, R - 1)
+    v0 = np.clip(np.floor(v), -1, R - 1)
+    du = np.clip(u - u0, 0.0, 1.0)
+    dv = np.clip(v - v0, 0.0, 1.0)
+    emap = cm._edge_index_map(R).reshape(6, -1)
+    E = R + 2
+
+    idxs, ws = [], []
+    for (vv, uu, wgt) in [(v0, u0, (1 - du) * (1 - dv)),
+                          (v0, u0 + 1, du * (1 - dv)),
+                          (v0 + 1, u0, (1 - du) * dv),
+                          (v0 + 1, u0 + 1, du * dv)]:
+        pidx = (vv.astype(np.int64) + 1) * E + uu.astype(np.int64) + 1
+        idxs.append(emap[face, pidx])
+        ws.append(wgt.astype(np.float32))
+    tap_idx = np.stack(idxs, -1).astype(np.int32)     # [HW, 4]
+    tap_w = np.stack(ws, -1)                          # [HW, 4]
+    flat_idx = tap_idx.reshape(-1)
+    order = np.argsort(flat_idx, kind="stable").astype(np.int32)
+    bounds = np.searchsorted(flat_idx[order],
+                             np.arange(6 * R * R + 1)).astype(np.int32)
+    return tap_idx, tap_w, order, bounds
+
+
+def make_latlong_sampler(res_cube: int, res: List[int] = (512, 1024)):
+    """Returns f(base [6,R,R,3]) -> [H, W, 3] equal to
+    sample_cubemap(base, envmap_dirs(res)) but with a custom VJP that
+    reduces the transpose by static-permutation gather + cumsum segments
+    (no scatter). Used by the per-step env-TV loss (train.py:409-416)."""
+    h, w = res
+    tap_idx_np, tap_w_np, order_np, bounds_np = _latlong_struct(
+        res_cube, h, w)
+
+    @jax.custom_vjp
+    def sample(base):
+        flat = base.reshape(-1, 3)
+        taps = cm.take_rows3(flat, jnp.asarray(tap_idx_np))  # [HW, 4, 3]
+        return (taps * jnp.asarray(tap_w_np)[..., None]).sum(1) \
+            .reshape(h, w, 3)
+
+    def fwd(base):
+        return sample(base), base.shape
+
+    def bwd(shape, g):
+        T = shape[0] * shape[1] * shape[2]
+        tapg = g.reshape(-1, 1, 3) * jnp.asarray(tap_w_np)[..., None]
+        srt = tapg.reshape(-1, 3)[jnp.asarray(order_np)]
+        csum = jnp.concatenate(
+            [jnp.zeros((1, 3), jnp.float32),
+             jnp.cumsum(srt, axis=0, dtype=jnp.float32)], axis=0)
+        b = jnp.asarray(bounds_np)
+        seg = csum[b[1:]] - csum[b[:-1]]
+        return (seg.reshape(shape),)
+
+    sample.defvjp(fwd, bwd)
+    return sample
 
 
 def latlong_to_cubemap(latlong: jnp.ndarray, res: int) -> jnp.ndarray:

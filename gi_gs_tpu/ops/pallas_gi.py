@@ -59,9 +59,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .screen_space import GIParams, march_directions
 
-BH = 8     # pixel block height (sublanes)
+BH = 16    # pixel block height (sublanes; 16 halves the block count and
+           # cuts the aligned-superset overfetch from 4.0 to 3.0 table
+           # elements per pixel vs BH=8)
 BW = 128   # pixel block width (lanes)
-ROW_M = 8      # top margin of the z/rgb tables (covers dy >= -(BH-1))
+ROW_M = 16     # top margin of the z/rgb tables (covers dy >= -(BH-1))
+SUP_R = BH + 8  # aligned slab superset rows (BH + sublane alignment)
 COL_M = 128    # left margin (covers dx >= -(BW-1))
 _KOFF = 2048   # offset bias for key packing; |dy|,|dx| < 2048 always
                # (image dims are bounded by the table budget well below it)
@@ -74,10 +77,10 @@ def _round_up(v: int, m: int) -> int:
 def _table_dims(h: int, w: int) -> Tuple[int, int]:
     """Margin-padded table dims. Slab starts ROW_M + iy - i (iy < h,
     i < BH) stay in [1, ROW_M + h - 1]; Mosaic only allows (8, 128)-
-    aligned vector loads, so the kernel loads an aligned [16, 256]
+    aligned vector loads, so the kernel loads an aligned [SUP_R, 256]
     superset and rotates — the table needs that much headroom past the
     largest aligned start."""
-    ht = _round_up(ROW_M + h, 8) + 16
+    ht = _round_up(ROW_M + h, 8) + SUP_R
     wt = _round_up(COL_M + w, 128) + 256
     return ht, wt
 
@@ -201,17 +204,17 @@ def _kernel(dirs_ref, fxy_ref, z_ref, rgb_ref, nrm_ref, pos_ref,
                 rs = ROW_M + by * BH + dy0
                 cs = COL_M + bx * BW + dx0
                 # Mosaic vector loads must be (8, 128)-aligned: load the
-                # aligned [16, 256] superset and rotate the wanted
+                # aligned [SUP_R, 256] superset and rotate the wanted
                 # (rs, cs) corner to the origin (roll(x, s)[i] = x[i-s]).
                 ra = (rs // 8) * 8
                 ca = (cs // 128) * 128
 
                 def slab_at(ref3, c):
                     if c is None:
-                        big = z_ref[pl.ds(ra, 16), pl.ds(ca, 256)]
+                        big = z_ref[pl.ds(ra, SUP_R), pl.ds(ca, 256)]
                     else:
-                        big = ref3[c, pl.ds(ra, 16), pl.ds(ca, 256)]
-                    big = pltpu.roll(big, (16 - (rs - ra)) % 16, 0)
+                        big = ref3[c, pl.ds(ra, SUP_R), pl.ds(ca, 256)]
+                    big = pltpu.roll(big, (SUP_R - (rs - ra)) % SUP_R, 0)
                     big = pltpu.roll(big, (256 - (cs - ca)) % 256, 1)
                     return big[0:BH, 0:BW]
 
@@ -318,17 +321,17 @@ def _kernel_coherent(dirs_ref, fxy_ref, offs_ref, z_ref, rgb_ref, nrm_ref,
             key = offs_ref[0, 0, d, j - p.start]
             dyc_i = key // (2 * _KOFF) - _KOFF
             dxc_i = key % (2 * _KOFF) - _KOFF
-            rs = jnp.clip(ROW_M + by * BH + dyc_i, 0, ht - 16)
+            rs = jnp.clip(ROW_M + by * BH + dyc_i, 0, ht - SUP_R)
             cs = jnp.clip(COL_M + bx * BW + dxc_i, 0, wt - 256)
             ra = (rs // 8) * 8
             ca = (cs // 128) * 128
 
             def slab_at(ref3, c):
                 if c is None:
-                    big = z_ref[pl.ds(ra, 16), pl.ds(ca, 256)]
+                    big = z_ref[pl.ds(ra, SUP_R), pl.ds(ca, 256)]
                 else:
-                    big = ref3[c, pl.ds(ra, 16), pl.ds(ca, 256)]
-                big = pltpu.roll(big, (16 - (rs - ra)) % 16, 0)
+                    big = ref3[c, pl.ds(ra, SUP_R), pl.ds(ca, 256)]
+                big = pltpu.roll(big, (SUP_R - (rs - ra)) % SUP_R, 0)
                 big = pltpu.roll(big, (256 - (cs - ca)) % 256, 1)
                 return big[0:BH, 0:BW]
 

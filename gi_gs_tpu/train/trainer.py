@@ -297,9 +297,11 @@ def phase2_view_loss(cfg: Config, brdf_lut, light, params, ndc_zeros,
 
 def env_tv_loss(cubemap_base) -> jnp.ndarray:
     """Per-step environment-map TV on the exported lat-long grid
-    (train.py:409-416)."""
-    from ..models.light import envmap_dirs
-    envmap = sample_cubemap(cubemap_base, envmap_dirs())
+    (train.py:409-416). The lat-long dirs are fixed, so the sample uses
+    the static-structure custom VJP (scatter-free transpose)."""
+    from ..models.light import make_latlong_sampler
+    sampler = make_latlong_sampler(cubemap_base.shape[1])
+    envmap = sampler(cubemap_base)
     return ((envmap[1:] - envmap[:-1]) ** 2).mean() + \
         ((envmap[:, 1:] - envmap[:, :-1]) ** 2).mean()
 

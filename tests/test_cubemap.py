@@ -193,3 +193,24 @@ def test_seamless_vs_clamp_quantified():
     steps = np.abs(np.diff(sv, axis=0)).max()
     # max per-sample step bounded by bilinear smoothness of the halo path
     assert steps < 0.35, steps
+
+
+def test_static_latlong_sampler_matches_dynamic():
+    """make_latlong_sampler (static taps + scatter-free VJP) vs the
+    dynamic seamless sample_cubemap path: values and cubemap gradients."""
+    rng = np.random.RandomState(13)
+    R = 16
+    base = jnp.asarray(rng.rand(6, R, R, 3).astype(np.float32))
+    res = (32, 64)
+    f = light_mod.make_latlong_sampler(R, res)
+    a = f(base)
+    b = cm.sample_cubemap(base, light_mod.envmap_dirs(res))
+    # f64 (numpy) vs f32 (jnp) direction grids: ~1e-6 weight noise
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=5e-6)
+    g = jnp.asarray(rng.randn(*res, 3).astype(np.float32))
+    ga = jax.grad(lambda x: (f(x) * g).sum())(base)
+    gb = jax.grad(lambda x: (cm.sample_cubemap(
+        x, light_mod.envmap_dirs(res)) * g).sum())(base)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-3, atol=1e-4)

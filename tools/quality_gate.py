@@ -169,6 +169,7 @@ def run_phase1_gate(size=128, iters=4000, n_train=16, n_test=4,
     cols = np.full((len(pts), 3), 0.5, np.float32)
     params = create_from_points(pts, cols, capacity=capacity)
 
+    from gi_gs_tpu.ops.rasterize.pipeline import bucket_cap_instances
     cap_i = trainer.probe_cap_instances(cfg, gt, train_cams)
     cfg.raster = dataclasses.replace(cfg.raster, cap_instances=cap_i)
     state = trainer.make_train_state(cfg, params, spatial_lr_scale=1.0)
@@ -185,12 +186,40 @@ def run_phase1_gate(size=128, iters=4000, n_train=16, n_test=4,
         vi = int(order.pop())
         state, aux = step(state, train_cams[vi], gt_train[vi], alphas, bg,
                           jnp.int32(it))
+        # Capacity growth like the CLI (train_cli.grow_capacity /
+        # grow_cap_tile): densification outgrows the GT-probed buckets,
+        # and dropped instances silently corrupt the gradients.
+        if it % 100 == 0 or it == 1:
+            changed = False
+            ovf = int(aux.overflow)
+            if ovf > 0:
+                cfg.raster = dataclasses.replace(
+                    cfg.raster, cap_instances=bucket_cap_instances(
+                        cfg.raster.cap_instances + ovf, headroom=1.3))
+                changed = True
+            mtc = int(aux.max_tile_count)
+            if mtc > cfg.raster.cap_tile:
+                ch = cfg.raster.chunk
+                cfg.raster = dataclasses.replace(
+                    cfg.raster, cap_tile=-(-int(mtc * 1.3) // ch) * ch)
+                changed = True
+            if changed:
+                log(f"phase1 it {it}: regrow cap_instances="
+                    f"{cfg.raster.cap_instances} cap_tile="
+                    f"{cfg.raster.cap_tile}")
+                step = trainer.make_phase1_step(cfg, cameras_extent=1.5,
+                                                tx=tx)
         if it % 500 == 0 or it == 1:
             log(f"phase1 it {it}: loss {float(aux.loss):.4f} "
                 f"psnr {float(aux.psnr):.2f} "
                 f"alive {int(np.asarray(state.params.alive.sum()))}")
 
-    test_psnrs = [_psnr(render_fn(state.params, c), g)
+    # Re-jit eval with the GROWN capacities (render_fn closed over the
+    # initial cfg; the trained scene has far more instances).
+    eval_fn = jax.jit(lambda p, c: jnp.clip(render(
+        c, p, bg, cfg.raster, cfg.gi, derive_normal=False,
+        compute_occlusion=False)["render"], 0.0, 1.0))
+    test_psnrs = [_psnr(eval_fn(state.params, c), g)
                   for c, g in zip(test_cams, gt_test)]
     out = {"test_psnr": float(np.mean(test_psnrs)),
            "test_psnr_min": float(np.min(test_psnrs)),
