@@ -294,12 +294,18 @@ def run_phase2_gate(size=128, iters=800, n_train=16, n_test=4,
     alphas = jnp.ones((1, size, size), jnp.float32)
     rng = np.random.RandomState(seed + 2)
     order = []
+    # Iterations are offset to the reference's REAL phase-2 range
+    # (pbr_iteration=30000): the BRDF/albedo LR schedule is
+    # expon_lr(step - 30000, ...) and returns 0 before it
+    # (optim.py brdf_sched, gaussian_model.py:390) — running the gate at
+    # iterations 1..N would train with albedo frozen.
+    it0 = 30_000
     for it in range(1, iters + 1):
         if not order:
             order = list(rng.permutation(len(train_cams)))
         vi = int(order.pop())
         state, aux = step(state, train_cams[vi], gt_train[vi], alphas, bg,
-                          jnp.int32(it))
+                          jnp.int32(it0 + it))
         if it % 200 == 0 or it == 1:
             log(f"phase2 it {it}: loss {float(aux.loss):.4f} "
                 f"psnr {float(aux.psnr):.2f}")
