@@ -105,6 +105,11 @@ def patch_apply_fwd(W: jnp.ndarray, padded: jnp.ndarray, R: int, P: int,
         ],
         out_specs=pl.BlockSpec((1, 3, R, R), lambda f, dy: (f, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((6, 3, R, R), jnp.float32),
+        # At R=256 the double-buffered W row block (2 x 3.9 MB) plus the
+        # halo face, output and roll temporaries exceed the default 16 MB
+        # scoped-vmem budget; v5e has 128 MB VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(W, pad_in)
     return out
@@ -131,6 +136,8 @@ def patch_apply_bwd(W: jnp.ndarray, g: jnp.ndarray, R: int, P: int,
         ],
         out_specs=pl.BlockSpec((1, 3, Er, Ec), lambda f, dy: (f, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((6, 3, Er, Ec), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(W, g)
     return out[:, :, :E, :E]

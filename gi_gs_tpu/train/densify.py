@@ -115,8 +115,17 @@ def densify_and_prune(key: jax.Array, params: GaussianParams,
     src = jnp.where(
         is_clone, clone_src[jnp.minimum(k, cap - 1)],
         split_src[jnp.clip(split_item // 2, 0, cap - 1)])
-    valid = (is_clone | is_split) & (k < n_free) & (src < cap)
+    # Capacity saturation: a split may only consume its source if BOTH
+    # replicas got a free slot — otherwise the source must stay alive
+    # (the reference never drops mass; without this, running out of free
+    # slots deleted the split sources while their replacements were
+    # silently discarded, destroying the scene over successive waves).
+    split_fits = (n_clone + 2 * (split_item // 2) + 1) < n_free
+    valid = (is_clone & (k < n_free) | is_split & split_fits) & (src < cap)
     n_dropped = jnp.maximum(n_clone + 2 * n_split - n_free, 0)
+    j = jnp.arange(cap, dtype=jnp.int32)
+    split_done = jnp.zeros((cap,), bool).at[split_src].set(
+        (j < n_split) & ((n_clone + 2 * j + 1) < n_free), mode="drop")
     src_safe = jnp.minimum(src, cap - 1)
     target = jnp.where(valid, free_slots[jnp.minimum(k, cap - 1)], cap)
 
@@ -149,7 +158,7 @@ def densify_and_prune(key: jax.Array, params: GaussianParams,
     )
 
     new_slot_mask = jnp.zeros((cap,), bool).at[target].set(valid, mode="drop")
-    alive2 = (alive & ~split_mask) | new_slot_mask
+    alive2 = (alive & ~split_done) | new_slot_mask
 
     # Final prune (gaussian_model.py:923-928). New slots have zero radii.
     # max_screen_size may be a traced float; +inf disables the size prunes
