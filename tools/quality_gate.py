@@ -133,12 +133,19 @@ def _psnr(a, b):
     return float(image_utils.psnr(jnp.clip(a, 0, 1), jnp.clip(b, 0, 1)))
 
 
-def run_phase1_gate(size=128, iters=4000, n_train=16, n_test=4,
-                    capacity=8192, n_gauss=800, jitter=0.04,
+def run_phase1_gate(size=128, iters=7000, n_train=64, n_test=8,
+                    capacity=16384, n_gauss=800, jitter=0.04,
                     keep_frac=0.6, seed=0):
     """Render GT from a known scene, re-fit from jittered/subsampled
     points with the full phase-1 schedule (densification ON), report
-    held-out PSNR."""
+    held-out PSNR.
+
+    Protocol scale mirrors the reference evaluation setup: ~the view
+    density of the NeRF-synthetic train split (100 views; 64 here on a
+    ring — held-out PSNR at 16 views is overfit-limited to ~18-22 dB no
+    matter the optimizer), and the eval iteration is 1000 past an
+    opacity reset exactly like the reference's first test_iterations
+    checkpoint (7000, train.py test_iterations default)."""
     import dataclasses
     import jax
     import jax.numpy as jnp
@@ -229,7 +236,7 @@ def run_phase1_gate(size=128, iters=4000, n_train=16, n_test=4,
     return out
 
 
-def run_phase2_gate(size=128, iters=800, n_train=16, n_test=4,
+def run_phase2_gate(size=128, iters=1000, n_train=32, n_test=8,
                     capacity=4096, n_gauss=800, light_res=64, seed=0):
     """Known geometry + known envmap + known albedo: re-fit albedo,
     roughness and the cubemap from scratch with the phase-2 step; report

@@ -14,7 +14,7 @@ from gi_gs_tpu.ops.rasterize.pipeline import bucket_cap_instances
 size = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 iters = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
 extent = float(sys.argv[3]) if len(sys.argv) > 3 else 3.3
-cap = 8192
+cap = int(sys.argv[4]) if len(sys.argv) > 4 else 8192
 n = 800
 cfg = _build_cfg(size, cap, 64)
 gt = make_gt_scene(n=n, seed=0, capacity=cap)
