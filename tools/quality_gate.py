@@ -52,8 +52,16 @@ def ring_cameras(n, size, dist=3.0, fov=0.9, tilt=0.25):
 
 
 def make_gt_scene(n=800, seed=0, capacity=4096):
-    """Known Gaussian blob: sphere shell with smooth colors, outward
-    normals, spatially-varying albedo, constant roughness."""
+    """Known Gaussian blob: sphere shell with smooth colors,
+    spatially-varying albedo, constant roughness.
+
+    Normals are tangentially PERTURBED away from the radial direction:
+    on an exact sphere with radial normals, diffuse light (a function of
+    the normal) is perfectly degenerate with albedo (a function of the
+    position — which IS the normal direction), so no optimizer can
+    separate envmap from albedo. The perturbation makes many positions
+    share a normal (and vice versa), which is what makes the phase-2
+    decomposition identifiable — like the reference's real scenes."""
     import jax.numpy as jnp
     from gi_gs_tpu.models.gaussians import create_from_points
     from gi_gs_tpu.utils.math_utils import inverse_sigmoid
@@ -69,10 +77,17 @@ def make_gt_scene(n=800, seed=0, capacity=4096):
     colors = np.clip(colors, 0.05, 0.95).astype(np.float32)
     params = create_from_points(pts, colors, capacity=capacity)
 
-    albedo = 0.5 + 0.35 * np.stack([np.cos(2 * pts[:, 1]),
-                                    np.sin(3 * pts[:, 2]),
-                                    np.cos(3 * pts[:, 0] + 0.5)], -1)
+    albedo = 0.5 + 0.35 * np.stack([np.cos(5 * pts[:, 1]),
+                                    np.sin(6 * pts[:, 2]),
+                                    np.cos(6 * pts[:, 0] + 0.5)], -1)
     albedo = np.clip(albedo, 0.1, 0.9).astype(np.float32)
+
+    # Smooth tangential field, lower frequency than the albedo above.
+    v = np.stack([np.sin(2.0 * pts[:, 1]), np.cos(2.0 * pts[:, 2]),
+                  np.sin(2.0 * pts[:, 0])], -1).astype(np.float32)
+    t = v - (v * d).sum(-1, keepdims=True) * d
+    nrm = d + 0.6 * t
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
 
     def pad(x, fill):
         out = np.full((capacity,) + x.shape[1:], fill, np.float32)
@@ -81,7 +96,7 @@ def make_gt_scene(n=800, seed=0, capacity=4096):
 
     params = params.replace(
         opacity=jnp.full_like(params.opacity, inverse_sigmoid(0.9)),
-        normal=pad(d, 0.0).at[n:, 2].set(1.0),
+        normal=pad(nrm, 0.0).at[n:, 2].set(1.0),
         albedo=pad(inverse_sigmoid(np.clip(albedo, 0.02, 0.98)), 1.0),
         roughness=jnp.full_like(params.roughness, inverse_sigmoid(0.4)),
         metallic=jnp.full_like(params.metallic, inverse_sigmoid(0.02)),
@@ -133,7 +148,7 @@ def _psnr(a, b):
     return float(image_utils.psnr(jnp.clip(a, 0, 1), jnp.clip(b, 0, 1)))
 
 
-def run_phase1_gate(size=128, iters=7000, n_train=64, n_test=8,
+def run_phase1_gate(size=128, iters=7000, n_train=128, n_test=8,
                     capacity=16384, n_gauss=800, jitter=0.04,
                     keep_frac=0.6, seed=0):
     """Render GT from a known scene, re-fit from jittered/subsampled
