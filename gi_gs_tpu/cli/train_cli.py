@@ -238,24 +238,48 @@ def main(argv=None):
             mtc = int(aux.max_tile_count)
             if mtc > cfg.raster.cap_tile:
                 grow_cap_tile(mtc)
+            alive = int(state.params.alive.sum())
+            dropped = int(aux.densify_dropped)
+            # Capacity saturation: densification wanted more slots than the
+            # bucket holds (dropped > 0), or the alive population is at the
+            # bucket ceiling — double the Gaussian capacity like the
+            # reference's unbounded reallocation (gaussian_model.py:664-749)
+            # and let the jitted step retrace for the new shapes.
+            cap = state.params.capacity
+            if (dropped > 0 or alive > 0.92 * cap) and \
+                    iteration < cfg.opt.densify_until_iter and \
+                    cfg.model.max_capacity and cap < cfg.model.max_capacity:
+                new_cap = min(cap * 2, cfg.model.max_capacity)
+                state = trainer_mod.grow_state(state, new_cap)
+                print(f"[{iteration}] Gaussian capacity {cap} -> {new_cap} "
+                      f"(alive {alive}, densify dropped {dropped})",
+                      flush=True)
             now = time.time()
             ips = 100.0 / max(now - t_report, 1e-9)
             t_report = now
             print(f"[{iteration}] loss {loss:.5f} l1 {float(aux.l1):.5f} "
                   f"psnr {float(aux.psnr):.2f} "
-                  f"alive {int(state.params.alive.sum())} "
-                  f"{ips:.2f} it/s", flush=True)
+                  f"alive {alive}"
+                  + (f" dropped {dropped}" if dropped else "") +
+                  f" {ips:.2f} it/s", flush=True)
             if tb:
                 tb.add_scalar("train/loss", loss, iteration)
                 tb.add_scalar("train/l1", float(aux.l1), iteration)
                 tb.add_scalar("train/psnr", float(aux.psnr), iteration)
-                tb.add_scalar("train/alive",
-                              int(state.params.alive.sum()), iteration)
+                tb.add_scalar("train/alive", alive, iteration)
+                tb.add_scalar("train/densify_dropped", dropped, iteration)
+                tb.add_scalar("train/capacity",
+                              state.params.capacity, iteration)
                 tb.add_scalar("train/iters_per_s", ips, iteration)
 
         if iteration in cfg.train.test_iterations and scene.test_cameras:
+            # Mid-train evals sample 8 held-out views; the final one runs
+            # the FULL test split like the reference's offline render.py
+            # metric pass (train.py:584-800, render.py:379-395).
+            n_eval = (len(scene.test_cameras)
+                      if iteration == cfg.opt.iterations else 8)
             metrics = evaluate(cfg, state, scene.test_cameras, phase2,
-                               tb=tb, iteration=iteration)
+                               max_views=n_eval, tb=tb, iteration=iteration)
             print(f"[ITER {iteration}] eval: {metrics}", flush=True)
             if tb:
                 tb.add_scalar("test/psnr", metrics["psnr"], iteration)

@@ -29,7 +29,12 @@ class ModelConfig:
     white_background: bool = False
     eval: bool = False
     # TPU additions
-    capacity: int = 1 << 19          # Gaussian capacity (padded)
+    capacity: int = 1 << 19          # initial Gaussian capacity (padded)
+    # Capacity-growth ceiling: when densification saturates the current
+    # bucket the trainer doubles capacity (grow_state) up to this bound —
+    # the static-shape analog of the reference's unbounded reallocation
+    # (gaussian_model.py:664-749). 0 disables growth.
+    max_capacity: int = 1 << 22
     max_cameras: int = 0             # 0 = all (debug subsetting)
 
 

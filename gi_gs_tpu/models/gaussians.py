@@ -123,6 +123,38 @@ def create_from_points(points: np.ndarray, colors: np.ndarray,
                           max_sh_degree=max_sh_degree)
 
 
+def grow_params(params: GaussianParams, new_capacity: int) -> GaussianParams:
+    """Return params re-padded to a larger capacity (all data preserved,
+    new slots dead). TPU-native replacement for the reference's unbounded
+    tensor reallocation on densify (gaussian_model.py:664-749): when the
+    alive population approaches capacity the caller grows the bucket and
+    re-jits, instead of silently dropping clones/splits."""
+    cap = params.capacity
+    if new_capacity <= cap:
+        return params
+    m = new_capacity - cap
+
+    def pad(x, fill=0.0):
+        extra = jnp.full((m,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, extra], axis=0)
+
+    return params.replace(
+        xyz=pad(params.xyz),
+        features_dc=pad(params.features_dc),
+        features_rest=pad(params.features_rest),
+        opacity=pad(params.opacity),
+        # Unit-norm fills keep dead-slot activations well-conditioned
+        # (same fills as _init_arrays padding).
+        normal=pad(params.normal).at[cap:, 2].set(1.0),
+        albedo=pad(params.albedo, 1.0),
+        roughness=pad(params.roughness, 1.0),
+        metallic=pad(params.metallic, 1.0),
+        scaling=pad(params.scaling, -10.0),
+        rotation=pad(params.rotation).at[cap:, 0].set(1.0),
+        alive=pad(params.alive, False),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("capacity", "max_sh_degree"))
 def _init_arrays(pts: jnp.ndarray, colors: jnp.ndarray, capacity: int,
                  max_sh_degree: int):

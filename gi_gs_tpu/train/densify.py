@@ -122,6 +122,11 @@ def densify_and_prune(key: jax.Array, params: GaussianParams,
     # silently discarded, destroying the scene over successive waves).
     split_fits = (n_clone + 2 * (split_item // 2) + 1) < n_free
     valid = (is_clone & (k < n_free) | is_split & split_fits) & (src < cap)
+    # Deferred-or-dropped work: clones that found no free slot are lost for
+    # this round; split replicas that found no slot are deferred (their
+    # sources stay alive, see split_fits above). Either way a nonzero value
+    # means the schedule wanted more capacity than exists — the CLI/gate
+    # treat it as the capacity-growth trigger (grow_state + retrace).
     n_dropped = jnp.maximum(n_clone + 2 * n_split - n_free, 0)
     j = jnp.arange(cap, dtype=jnp.int32)
     split_done = jnp.zeros((cap,), bool).at[split_src].set(

@@ -111,6 +111,24 @@ def surgery_new_slots(opt_state, slot_mask: jnp.ndarray):
     return jax.tree.map(zero_new, opt_state)
 
 
+def surgery_grow(opt_state, old_cap: int, new_cap: int):
+    """Pad every per-Gaussian optimizer leaf (leading dim == old_cap) with
+    zeros up to new_cap — the capacity-growth analog of the reference's
+    cat-zeros surgery (gaussian_model.py:635-662). Moments of existing
+    slots are preserved exactly; new slots start fresh like newly
+    densified points."""
+    def pad(leaf):
+        if isinstance(leaf, jnp.ndarray) and leaf.ndim >= 1 \
+                and leaf.shape[0] == old_cap \
+                and jnp.issubdtype(leaf.dtype, jnp.floating):
+            extra = jnp.zeros((new_cap - old_cap,) + leaf.shape[1:],
+                              leaf.dtype)
+            return jnp.concatenate([leaf, extra], axis=0)
+        return leaf
+
+    return jax.tree.map(pad, opt_state)
+
+
 def surgery_reset_group(opt_state, label: str):
     """Zero Adam moments of one optimizer group — the analog of
     replace_tensor_to_optimizer (gaussian_model.py:580-594) used by the

@@ -72,6 +72,34 @@ def make_train_state(cfg: Config, params: GaussianParams,
         key=key)
 
 
+def grow_state(state: TrainState, new_capacity: int) -> TrainState:
+    """Grow the Gaussian capacity of a whole train state: params re-padded
+    (models.gaussians.grow_params), per-Gaussian optimizer moments padded
+    with zeros (optim.surgery_grow), densify stats re-zeroed at the new
+    size. The caller re-runs its jitted step, which retraces for the new
+    shapes. Equivalent capability to the reference's unbounded densify
+    reallocation (gaussian_model.py:664-749)."""
+    from ..models.gaussians import grow_params
+    from .optim import surgery_grow
+    old = state.params.capacity
+    if new_capacity <= old:
+        return state
+    return state._replace(
+        params=grow_params(state.params, new_capacity),
+        opt_state=surgery_grow(state.opt_state, old, new_capacity),
+        stats=DensifyStats(
+            accum=_pad0(state.stats.accum, new_capacity),
+            accum_abs=_pad0(state.stats.accum_abs, new_capacity),
+            accum_abs_max=_pad0(state.stats.accum_abs_max, new_capacity),
+            denom=_pad0(state.stats.denom, new_capacity),
+            max_radii2d=_pad0(state.stats.max_radii2d, new_capacity)))
+
+
+def _pad0(x: jnp.ndarray, new_cap: int) -> jnp.ndarray:
+    extra = jnp.zeros((new_cap - x.shape[0],) + x.shape[1:], x.dtype)
+    return jnp.concatenate([x, extra], axis=0)
+
+
 def probe_cap_instances(cfg: Config, params: GaussianParams, cameras,
                         max_views: int = 3) -> int:
     """Measure the (gaussian, tile) instance count over a camera sample and

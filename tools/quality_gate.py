@@ -149,18 +149,20 @@ def _psnr(a, b):
 
 
 def run_phase1_gate(size=128, iters=7000, n_train=128, n_test=8,
-                    capacity=16384, n_gauss=800, jitter=0.04,
-                    keep_frac=0.6, seed=0):
+                    capacity=16384, max_capacity=1 << 17, n_gauss=800,
+                    jitter=0.04, keep_frac=0.6, seed=0):
     """Render GT from a known scene, re-fit from jittered/subsampled
     points with the full phase-1 schedule (densification ON), report
     held-out PSNR.
 
-    Protocol scale mirrors the reference evaluation setup: ~the view
-    density of the NeRF-synthetic train split (100 views; 64 here on a
-    ring — held-out PSNR at 16 views is overfit-limited to ~18-22 dB no
-    matter the optimizer), and the eval iteration is 1000 past an
-    opacity reset exactly like the reference's first test_iterations
-    checkpoint (7000, train.py test_iterations default)."""
+    Protocol scale mirrors the reference evaluation setup: 128 train
+    views on a ring (≳ the 100-view NeRF-synthetic train split density —
+    held-out PSNR at 16 views is overfit-limited to ~18-22 dB no matter
+    the optimizer), and the eval iteration is 1000 past an opacity reset
+    exactly like the reference's first test_iterations checkpoint (7000,
+    train.py test_iterations default). Gaussian capacity doubles on
+    densify saturation (trainer.grow_state) like the reference's
+    unbounded reallocation, up to max_capacity."""
     import dataclasses
     import jax
     import jax.numpy as jnp
@@ -198,8 +200,19 @@ def run_phase1_gate(size=128, iters=7000, n_train=128, n_test=8,
     tx = build_optimizer(cfg.opt, 1.0)
     step = trainer.make_phase1_step(cfg, cameras_extent=1.5, tx=tx)
 
+    def eval_test(note=""):
+        # Fresh jit each call: cfg.raster capacities may have grown.
+        eval_fn = jax.jit(lambda p, c: jnp.clip(render(
+            c, p, bg, cfg.raster, cfg.gi, derive_normal=False,
+            compute_occlusion=False)["render"], 0.0, 1.0))
+        ps = [_psnr(eval_fn(state.params, c), g)
+              for c, g in zip(test_cams, gt_test)]
+        return float(np.mean(ps)), float(np.min(ps))
+
     alphas = jnp.ones((1, size, size), jnp.float32)
     order = []
+    trajectory = []
+    total_dropped = 0
     for it in range(1, iters + 1):
         if it % 1000 == 0:
             state = state._replace(params=state.params.one_up_sh_degree())
@@ -231,27 +244,45 @@ def run_phase1_gate(size=128, iters=7000, n_train=128, n_test=8,
                     f"{cfg.raster.cap_tile}")
                 step = trainer.make_phase1_step(cfg, cameras_extent=1.5,
                                                 tx=tx)
+            # Gaussian-capacity growth on densify saturation (the signal
+            # VERDICT r3 flagged as unread): dropped>0 or alive at the
+            # bucket ceiling -> double capacity, step retraces.
+            alive = int(np.asarray(state.params.alive.sum()))
+            dropped = int(aux.densify_dropped)
+            total_dropped += dropped
+            cap = state.params.capacity
+            if (dropped > 0 or alive > 0.92 * cap) and \
+                    it < cfg.opt.densify_until_iter and cap < max_capacity:
+                new_cap = min(cap * 2, max_capacity)
+                state = trainer.grow_state(state, new_cap)
+                log(f"phase1 it {it}: capacity {cap} -> {new_cap} "
+                    f"(alive {alive}, dropped {dropped})")
         if it % 500 == 0 or it == 1:
             log(f"phase1 it {it}: loss {float(aux.loss):.4f} "
                 f"psnr {float(aux.psnr):.2f} "
-                f"alive {int(np.asarray(state.params.alive.sum()))}")
+                f"alive {int(np.asarray(state.params.alive.sum()))} "
+                f"dropped {int(aux.densify_dropped)}")
+        if it % 1000 == 0:
+            tp, tpmin = eval_test()
+            trajectory.append({
+                "iter": it, "test_psnr": round(tp, 2),
+                "alive": int(np.asarray(state.params.alive.sum())),
+                "capacity": state.params.capacity,
+                "dropped_so_far": total_dropped})
+            log(f"phase1 it {it}: TEST psnr {tp:.2f} (min {tpmin:.2f})")
 
-    # Re-jit eval with the GROWN capacities (render_fn closed over the
-    # initial cfg; the trained scene has far more instances).
-    eval_fn = jax.jit(lambda p, c: jnp.clip(render(
-        c, p, bg, cfg.raster, cfg.gi, derive_normal=False,
-        compute_occlusion=False)["render"], 0.0, 1.0))
-    test_psnrs = [_psnr(eval_fn(state.params, c), g)
-                  for c, g in zip(test_cams, gt_test)]
-    out = {"test_psnr": float(np.mean(test_psnrs)),
-           "test_psnr_min": float(np.min(test_psnrs)),
+    tp, tpmin = eval_test()
+    out = {"test_psnr": tp, "test_psnr_min": tpmin,
            "iters": iters, "size": size,
-           "alive": int(np.asarray(state.params.alive.sum()))}
+           "alive": int(np.asarray(state.params.alive.sum())),
+           "capacity": state.params.capacity,
+           "total_dropped": total_dropped,
+           "trajectory": trajectory}
     log(f"phase1 gate: {out}")
     return out
 
 
-def run_phase2_gate(size=128, iters=1000, n_train=32, n_test=8,
+def run_phase2_gate(size=128, iters=5000, n_train=32, n_test=8,
                     capacity=4096, n_gauss=800, light_res=64, seed=0):
     """Known geometry + known envmap + known albedo: re-fit albedo,
     roughness and the cubemap from scratch with the phase-2 step; report
@@ -370,7 +401,7 @@ def main():
               "pass": bool(p1["test_psnr"] >= 30.0 and
                            p2["albedo_psnr"] >= 22.0 and
                            p2["env_corr"] >= 0.9)}
-    with open("QUALITY_r03.json", "w") as f:
+    with open("QUALITY_r04.json", "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 
