@@ -41,10 +41,18 @@ def _hammersley(n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=2)
-def get_brdf_lut(res: int = 256, samples: int = 1024) -> jax.Array:
+def get_brdf_lut(res: int = 256, samples: int = 4096) -> jax.Array:
     """[res, res, 2] split-sum env-BRDF: rows = roughness, cols = NoV
     (matching the layout of the reference's brdf_256_256.bin as consumed
-    at pbr/shade.py:159-166)."""
+    at pbr/shade.py:159-166).
+
+    The visibility term is the HEIGHT-CORRELATED Smith GGX
+    (V = 0.5 / (NoL·sqrt(NoV²(1-α²)+α²) + NoV·sqrt(NoL²(1-α²)+α²)),
+    α = roughness²), integrand 4·V·VoH·NoL/NoH over GGX importance
+    samples: this reproduces the shipped reference binary to MC noise
+    (max |err| 0.0064 at 4096 samples, tests/test_shading.py
+    test_brdf_lut_matches_reference_binary), where the separable
+    Schlick-GGX k=α/2 form deviates by up to 0.35 at grazing angles."""
     xi = _hammersley(samples)  # [S, 2]
     nov = (np.arange(res) + 0.5) / res
     rough = (np.arange(res) + 0.5) / res
@@ -52,13 +60,12 @@ def get_brdf_lut(res: int = 256, samples: int = 1024) -> jax.Array:
     out = np.zeros((res, res, 2), np.float32)
     for yi, r in enumerate(rough):
         a = r * r
+        a2 = a * a
         phi = 2.0 * np.pi * xi[:, 0]
-        cos_t = np.sqrt((1.0 - xi[:, 1]) / (1.0 + (a * a - 1.0) * xi[:, 1]))
+        cos_t = np.sqrt((1.0 - xi[:, 1]) / (1.0 + (a2 - 1.0) * xi[:, 1]))
         sin_t = np.sqrt(np.maximum(1.0 - cos_t ** 2, 0.0))
         hx = np.cos(phi) * sin_t
-        hy = np.sin(phi) * sin_t
         hz = cos_t  # [S]
-        k = (r * r) / 2.0  # IBL k (GeometrySchlickGGX, ssr.h:72-81)
         v = np.stack([np.sqrt(1.0 - nov ** 2), np.zeros_like(nov), nov], -1)  # [R, 3]
         vdh = (v[:, None, 0] * hx[None] + v[:, None, 2] * hz[None])  # [R, S]
         lz = 2.0 * vdh * hz[None] - v[:, None, 2]
@@ -66,8 +73,12 @@ def get_brdf_lut(res: int = 256, samples: int = 1024) -> jax.Array:
         nol = np.clip(lz, 0.0, 1.0)
         noh = np.clip(hz[None], 0.0, 1.0)
         voh = np.clip(vdh, 0.0, 1.0)
-        g = (nol / (nol * (1 - k) + k)) * (nov[:, None] / (nov[:, None] * (1 - k) + k))
-        g_vis = np.where(valid & (noh > 0), g * voh / np.maximum(noh * nov[:, None], 1e-8), 0.0)
+        NoV = nov[:, None]
+        lam_v = NoV * np.sqrt(nol ** 2 * (1.0 - a2) + a2)
+        lam_l = nol * np.sqrt(NoV ** 2 * (1.0 - a2) + a2)
+        vis = 0.5 / np.maximum(lam_v + lam_l, 1e-8)
+        g_vis = np.where(valid & (noh > 0),
+                         4.0 * vis * voh * nol / np.maximum(noh, 1e-8), 0.0)
         fc = (1.0 - voh) ** 5
         out[yi, :, 0] = ((1.0 - fc) * g_vis).sum(1) / samples
         out[yi, :, 1] = (fc * g_vis).sum(1) / samples
