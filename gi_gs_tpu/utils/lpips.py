@@ -21,6 +21,19 @@ mapped to [-1, 1], normalised by the fixed shift/scale, passed through
 VGG16 features, the activations after relu1_2, relu2_2, relu3_3, relu4_3,
 relu5_3 are channel-unit-normalised, squared differences are weighted by
 the linear heads and spatially averaged, and the five layer scores sum.
+Numeric parity of this pipeline is pinned by tests/test_lpips.py: an
+independent torch implementation of the same algorithm and a committed
+fixture (tests/fixtures/lpips_expected.npz) agree with this module to
+float32 tolerance on fixed weights.
+
+To export real weights on a machine that has them:
+
+    python -c "import lpips, torch; m = lpips.LPIPS(net='vgg'); \
+               torch.save(m.state_dict(), 'lpips_vgg.pth')"
+
+then pass `--lpips_weights lpips_vgg.pth` to the eval CLIs (the
+`net.slice*` / `lin*.model.1.weight` keys are mapped by
+load_lpips_weights below).
 """
 from __future__ import annotations
 

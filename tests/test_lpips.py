@@ -42,6 +42,70 @@ def test_lpips_npz_roundtrip(tmp_path, weights):
     assert lpips_mod.maybe_load("/nonexistent/w.npz") is None
 
 
+def test_lpips_numeric_fixture(weights):
+    """Committed numeric fixture: expected values were computed by an
+    INDEPENDENT torch implementation of the lpips algorithm (see
+    test_lpips_torch_cross_implementation, which regenerates the same
+    numbers live). Guards the full pipeline — scaling layer, VGG conv
+    stack, unit-normalisation, linear heads, spatial averaging."""
+    import os
+    fx = dict(np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                                   "lpips_expected.npz")))
+    assert int(fx["weight_seed"]) == 3
+    for k in range(3):
+        got = lpips_mod.lpips(fx[f"img_a{k}"], fx[f"img_b{k}"], weights)
+        assert got == pytest.approx(float(fx["expected"][k]), abs=5e-5), \
+            f"pair {k}: {got} vs fixture {fx['expected'][k]}"
+
+
+def test_lpips_torch_cross_implementation(weights):
+    """Independent torch re-implementation of the lpips-package forward
+    (lpips/lpips.py LPIPS.forward with net='vgg'): scaling layer constants,
+    torchvision VGG16 feature slices, normalize_tensor, 1x1 linear heads,
+    spatial mean, layer sum. Must agree with the jnp implementation to
+    float32 conv-accumulation tolerance."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    SHIFT = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    SCALE = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+    def torch_lpips(a, b, w):
+        def feats(x):
+            x = (2 * x - 1 - SHIFT) / SCALE
+            out, conv = [], 0
+            for v in lpips_mod._VGG_CFG:
+                if v == "M":
+                    x = F.max_pool2d(x, 2, 2)
+                    continue
+                x = F.relu(F.conv2d(
+                    x, torch.from_numpy(w[f"conv{conv}_w"]),
+                    torch.from_numpy(w[f"conv{conv}_b"]), padding=1))
+                if conv in lpips_mod._TAPS:
+                    out.append(x)
+                conv += 1
+            return out
+
+        fa = feats(torch.from_numpy(a)[None])
+        fb = feats(torch.from_numpy(b)[None])
+        total = 0.0
+        for j, (x, y) in enumerate(zip(fa, fb)):
+            nx = x / torch.sqrt((x * x).sum(1, keepdim=True) + 1e-10)
+            ny = y / torch.sqrt((y * y).sum(1, keepdim=True) + 1e-10)
+            d = (nx - ny) ** 2
+            lw = torch.from_numpy(w[f"lin{j}_w"]).view(1, -1, 1, 1)
+            total = total + (d * lw).sum(1).mean()
+        return float(total)
+
+    rng = np.random.RandomState(11)
+    a = rng.rand(3, 40, 40).astype(np.float32)
+    b = np.clip(a + rng.normal(scale=0.15, size=a.shape), 0, 1) \
+        .astype(np.float32)
+    tv = torch_lpips(a, b, weights)
+    jv = lpips_mod.lpips(a, b, weights)
+    assert jv == pytest.approx(tv, abs=5e-5)
+
+
 def test_lpips_torch_loader(tmp_path, weights):
     torch = pytest.importorskip("torch")
     # Build an lpips-package-style state dict from the random weights and
