@@ -239,6 +239,16 @@ def main(argv=None):
         save_image(os.path.join(out_root, "pbr", f"{name}_specular.png"), out["specular_rgb"])
         save_image(os.path.join(out_root, "pbr", f"{name}_indirect.png"), out["indirect"])
         save_image(os.path.join(out_root, "pbr", f"{name}_occlusion.png"), out["occlusion_map"])
+        # Side-by-side BRDF sheet + direct-only image (render - indirect),
+        # completing the reference's per-view product set (render.py:363-377).
+        brdf_sheet = np.concatenate(
+            [np.asarray(out["albedo_map"]),
+             np.tile(np.asarray(out["roughness_map"]), (3, 1, 1)),
+             np.tile(np.asarray(out["metallic_map"]), (3, 1, 1))], axis=2)
+        save_image(os.path.join(out_root, "pbr", f"{name}_brdf.png"), brdf_sheet)
+        save_image(os.path.join(out_root, "pbr", f"{name}_DIR.png"),
+                   np.clip(np.asarray(out["render_rgb"]) -
+                           np.asarray(out["indirect"]), 0, 1))
         save_image(os.path.join(out_root, "normal", f"{name}_normal.png"),
                    (out["normal_map"] + 1) / 2)
         save_image(os.path.join(out_root, "normal", f"{name}_from_depth.png"),

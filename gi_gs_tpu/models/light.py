@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
@@ -196,9 +197,77 @@ def split_envmap_loss(base: jnp.ndarray, gt_envmap: jnp.ndarray
 
 def load_hdr(path: str) -> np.ndarray:
     """Radiance .hdr/.exr -> [H, W, 3] float RGB (ref read_hdr,
-    render.py:32-45 uses cv2)."""
-    import cv2
-    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
-    if img is None:
+    render.py:32-45 uses cv2).
+
+    Backend order: cv2 -> imageio -> pure-python Radiance RGBE decoder
+    (_read_radiance_hdr below, .hdr only), so the relight CLI works in
+    environments without opencv. Parity of the fallback against cv2 is
+    pinned by tests/test_cubemap.py::test_load_hdr_fallback_parity."""
+    if not os.path.exists(path):
         raise FileNotFoundError(path)
-    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+    try:
+        import cv2
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if img is not None:
+            return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+    except ImportError:
+        pass
+    try:
+        import imageio.v3 as iio
+        return np.asarray(iio.imread(path), np.float32)[..., :3]
+    except Exception:
+        pass
+    if path.lower().endswith(".hdr"):
+        return _read_radiance_hdr(path)
+    raise RuntimeError(
+        f"cannot decode {path}: no cv2/imageio available and the built-in "
+        "decoder handles Radiance .hdr only")
+
+
+def _read_radiance_hdr(path: str) -> np.ndarray:
+    """Minimal Radiance RGBE (.hdr) decoder: header, '-Y H +X W' resolution
+    line, then per-scanline data with new-style RLE (2,2,hi,lo marker) or
+    flat RGBE. Exposure/colorcorr headers are ignored like cv2 does."""
+    with open(path, "rb") as f:
+        magic = f.readline()
+        if not magic.startswith(b"#?"):
+            raise ValueError(f"{path}: not a Radiance HDR file")
+        while True:
+            line = f.readline()
+            if line in (b"\n", b"\r\n", b""):
+                break
+        res = f.readline().split()
+        if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
+            raise ValueError(f"{path}: unsupported resolution line {res}")
+        h, w = int(res[1]), int(res[3])
+        data = np.frombuffer(f.read(), np.uint8)
+
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    pos = 0
+    for y in range(h):
+        if pos + 4 <= data.size and data[pos] == 2 and data[pos + 1] == 2 \
+                and (int(data[pos + 2]) << 8 | int(data[pos + 3])) == w:
+            pos += 4  # new-style RLE scanline, per-component
+            for c in range(4):
+                x = 0
+                while x < w:
+                    count = int(data[pos]); pos += 1
+                    if count > 128:       # run
+                        rgbe[y, x:x + count - 128, c] = data[pos]
+                        pos += 1
+                        x += count - 128
+                    else:                 # literal
+                        rgbe[y, x:x + count, c] = data[pos:pos + count]
+                        pos += count
+                        x += count
+        else:                             # flat scanline
+            row = data[pos:pos + 4 * w].reshape(w, 4)
+            rgbe[y] = row
+            pos += 4 * w
+
+    exp = rgbe[..., 3].astype(np.int32)
+    scale = np.where(exp == 0, 0.0,
+                     np.ldexp(1.0, exp - 136)).astype(np.float32)
+    # mantissa * 2^(e-136), matching cv2/stb (Radiance's own convention
+    # adds +0.5 to the mantissa; the reference decodes via cv2).
+    return rgbe[..., :3].astype(np.float32) * scale[..., None]

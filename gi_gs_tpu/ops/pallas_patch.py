@@ -80,6 +80,18 @@ def _bwd_kernel(w_ref, g_ref, out_ref, *, R: int, P: int,
     out_ref[...] = out_ref[...] + acc[None]
 
 
+def _vmem_limit(R: int, P: int, Er: int, Ec: int) -> int:
+    """Scoped-VMEM budget derived from the actual working set: the
+    double-buffered W row block (2 x P·R·R), the halo face + output blocks
+    (double-buffered), and ~2x for roll temporaries. Clamped to
+    [16 MB, 128 MB] so the kernel compiles across TPU generations instead
+    of assuming v5e's 128 MB (smaller parts get a truthful request the
+    compiler can still reject with a clear OOM)."""
+    need = 4 * (2 * P * R * R + 2 * 3 * Er * Ec + 2 * 3 * R * R)
+    need = int(need * 2.0)
+    return max(16 * 1024 * 1024, min(need, 128 * 1024 * 1024))
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
@@ -107,9 +119,9 @@ def patch_apply_fwd(W: jnp.ndarray, padded: jnp.ndarray, R: int, P: int,
         out_shape=jax.ShapeDtypeStruct((6, 3, R, R), jnp.float32),
         # At R=256 the double-buffered W row block (2 x 3.9 MB) plus the
         # halo face, output and roll temporaries exceed the default 16 MB
-        # scoped-vmem budget; v5e has 128 MB VMEM.
+        # scoped-vmem budget; request what the working set actually needs.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_vmem_limit(R, P, Er, Ec)),
         interpret=interpret,
     )(W, pad_in)
     return out
@@ -137,7 +149,7 @@ def patch_apply_bwd(W: jnp.ndarray, g: jnp.ndarray, R: int, P: int,
         out_specs=pl.BlockSpec((1, 3, Er, Ec), lambda f, dy: (f, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((6, 3, Er, Ec), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_vmem_limit(R, P, Er, Ec)),
         interpret=interpret,
     )(W, g)
     return out[:, :, :E, :E]

@@ -186,8 +186,11 @@ def _apply_schedule_updates(cfg, state, params, grads, ndc_grad, aux_render,
                           key=key), dropped
 
 
-def make_phase1_step(cfg: Config, cameras_extent: float, tx):
-    """Returns jitted step(state, camera, image, alpha, bg, iteration)."""
+def make_phase1_step(cfg: Config, cameras_extent: float, tx,
+                     normal_weight: float = 1.0):
+    """Returns jitted step(state, camera, image, alpha, bg, iteration).
+    normal_weight is the reference's hard-coded normal_loss_weight = 1.0
+    (train.py:324); exposed for the diagnostic ablations."""
 
     def step(state: TrainState, camera: Camera, image, alpha, bg, iteration):
         def loss_fn(view, ndc_zeros):
@@ -202,7 +205,7 @@ def make_phase1_step(cfg: Config, cameras_extent: float, tx):
             normal_loss = _masked_l1(res["normal_map"],
                                      res["normal_map_from_depth"],
                                      res["normal_from_depth_mask"])
-            loss = loss + 1.0 * normal_loss
+            loss = loss + normal_weight * normal_loss
             loss = loss + cfg.train.normal_tv_weight * losses.tv_loss(
                 gt, res["normal_map"], pad=1, step=1)
             aux = {"l1": l1, "normal_loss": normal_loss,

@@ -1,5 +1,6 @@
 """Cubemap ops: sampling inverses, mip chain, prefilter parity."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -214,3 +215,19 @@ def test_static_latlong_sampler_matches_dynamic():
         x, light_mod.envmap_dirs(res)) * g).sum())(base)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_load_hdr_fallback_parity(tmp_path):
+    """Pure-python Radiance RGBE decoder vs cv2 (the reference's reader,
+    render.py:32-45): exact match — both use mantissa * 2^(e-136)."""
+    cv2 = pytest.importorskip("cv2")
+    from gi_gs_tpu.models.light import _read_radiance_hdr, load_hdr
+    rng = np.random.RandomState(0)
+    img = (rng.rand(32, 64, 3).astype(np.float32) * 4.0) ** 2
+    img[4:8, 4:8] = 0.0          # zero block exercises exp==0
+    img[10, :] = 3.7             # constant row exercises RLE runs
+    p = str(tmp_path / "e.hdr")
+    cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    via_cv2 = load_hdr(p)
+    via_py = _read_radiance_hdr(p)
+    np.testing.assert_array_equal(via_py, via_cv2)
