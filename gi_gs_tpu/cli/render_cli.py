@@ -85,7 +85,7 @@ def render_pbr_view(cfg, state, cam, bg, light=None, albedo_ratio=None,
     view_dirs = compute_view_dirs(cam)
 
     pbr = pbr_shading(
-        light=light, normals=res["normal_map"].transpose(1, 2, 0),
+        light=light, normals=res["normal_map_world"].transpose(1, 2, 0),
         view_dirs=view_dirs, albedo=albedo_map.transpose(1, 2, 0),
         roughness=roughness_map.transpose(1, 2, 0),
         mask=normal_mask.transpose(1, 2, 0), brdf_lut=brdf_lut,

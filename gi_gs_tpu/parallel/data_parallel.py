@@ -48,7 +48,7 @@ def make_dp_phase1_step(cfg: Config, cameras_extent: float, tx, mesh: Mesh,
         l1 = image_utils.l1_loss(res["render"], gt)
         loss = (1.0 - cfg.opt.lambda_dssim) * l1 + cfg.opt.lambda_dssim * (
             1.0 - image_utils.ssim(res["render"], gt))
-        normal_loss = _masked_l1(res["normal_map"],
+        normal_loss = _masked_l1(res["normal_map_world"],
                                  res["normal_map_from_depth"],
                                  res["normal_from_depth_mask"])
         loss = loss + normal_loss

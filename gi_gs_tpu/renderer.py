@@ -105,8 +105,17 @@ def render(camera: Camera, pc: GaussianParams, bg_color: jnp.ndarray,
     normal_map = _norm_where_nonzero(normal_map)
     normal_map = image_utils.median_blur_3x3(normal_map)
 
-    # View-space (negated) normal map — the reference's returned
-    # "normal_map" (gaussian_renderer/__init__.py:188-190,212).
+    # View-space (negated) normal map — the fork's returned "normal_map"
+    # (gaussian_renderer/__init__.py:188-190,212, "# replaced normal map").
+    # NOTE documented deviation: the fork feeds THIS map into the
+    # world-frame normal-consistency loss (train.py:325-327) and into
+    # pbr_shading with world view_dirs (train.py:341-353) — a frame
+    # mismatch introduced relative to its GS-IR/GI-GS upstream, which uses
+    # the world-space composite for both. The mismatch makes the normal
+    # loss un-minimizable (measured plateau ~0.45) and the reflection
+    # lookups frame-inconsistent; our trainer consumes
+    # "normal_map_world" below instead (upstream semantics), while this
+    # key keeps the fork vocabulary for the eval image dumps.
     normals_view = -jnp.einsum("ij,jhw->ihw", camera.w2c[:3, :3], normal_map)
 
     out_normal_view = _norm_where_nonzero(out.normal_view)
@@ -121,6 +130,7 @@ def render(camera: Camera, pc: GaussianParams, bg_color: jnp.ndarray,
         "normal_map_from_depth": normal_from_depth,
         "normal_from_depth_mask": normal_from_depth_mask,
         "normal_map": normals_view,
+        "normal_map_world": normal_map,
         "normal_mask": normal_mask,
         "albedo_map": out.albedo,
         "roughness_map": out.roughness,

@@ -202,7 +202,9 @@ def make_phase1_step(cfg: Config, cameras_extent: float, tx,
             l1 = image_utils.l1_loss(res["render"], gt)
             loss = (1.0 - cfg.opt.lambda_dssim) * l1 + cfg.opt.lambda_dssim * (
                 1.0 - image_utils.ssim(res["render"], gt))
-            normal_loss = _masked_l1(res["normal_map"],
+            # World-frame consistency (upstream GS-IR semantics; see the
+            # frame-mismatch note in renderer.py).
+            normal_loss = _masked_l1(res["normal_map_world"],
                                      res["normal_map_from_depth"],
                                      res["normal_from_depth_mask"])
             loss = loss + normal_weight * normal_loss
@@ -270,7 +272,7 @@ def phase2_view_loss(cfg: Config, brdf_lut, light, params, ndc_zeros,
     pbr = pbr_shading(
         light=light,
         normals=jax.lax.stop_gradient(
-            res["normal_map"].transpose(1, 2, 0)),
+            res["normal_map_world"].transpose(1, 2, 0)),
         view_dirs=view_dirs,
         albedo=albedo_map.transpose(1, 2, 0),
         roughness=roughness_map.transpose(1, 2, 0),

@@ -110,7 +110,7 @@ def test_dp_phase1_mesh_invariance_and_batch_semantics():
             l1 = image_utils.l1_loss(res["render"], gt)
             l = (1.0 - cfg.opt.lambda_dssim) * l1 + cfg.opt.lambda_dssim * (
                 1.0 - image_utils.ssim(res["render"], gt))
-            l = l + _masked_l1(res["normal_map"],
+            l = l + _masked_l1(res["normal_map_world"],
                                res["normal_map_from_depth"],
                                res["normal_from_depth_mask"])
             l = l + cfg.train.normal_tv_weight * losses.tv_loss(
