@@ -44,8 +44,10 @@ ROW = 128      # padded instance-row width. Mosaic tiles HBM arrays with
                # 128-lane granularity and rejects narrower DMA slices
                # (tried 32: "Slice shape along dimension 1 must be aligned
                # to tiling (128)"), so the row pad stays at 128.
-CH_PAD = 24    # packed output rows: 0:16 accum, 16 final_T, 17:23 pad
+CH_PAD = 24    # packed output rows: 0:16 accum, 16 final_T,
+               # 17:21 peak depth/pos (peak=True only), 21:23 pad
 FINAL_T_ROW = NUM_CH
+PEAK_ROWS = slice(17, 21)  # argmax-weight depth + view pos (forward.cu:577)
 
 
 def _cumprod_sublanes(x: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -116,7 +118,7 @@ def _coupled_feature(inst, ch):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(tile_start, tile_count, meta_ref, inst_hbm, out_ref,
-                inst_vmem, sem, *, cfg: RasterConfig):
+                inst_vmem, sem, *, cfg: RasterConfig, peak: bool = False):
     t = pl.program_id(0)
     K = cfg.chunk
     P = cfg.pixels_per_tile
@@ -139,7 +141,7 @@ def _fwd_kernel(tile_start, tile_count, meta_ref, inst_hbm, out_ref,
         dma(0, 0).start()
 
     def body(state):
-        c, t_cur, done = state
+        c, t_cur, done, max_w, pk = state
         slot = jax.lax.rem(c, 2)
         # Prefetch the next chunk while this one computes.
         @pl.when(c + 1 < n_chunks)
@@ -160,38 +162,61 @@ def _fwd_kernel(tile_start, tile_count, meta_ref, inst_hbm, out_ref,
             f, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)          # [CH, P]
+        if peak:
+            # Argmax-weight ("peak") depth/pos (forward.cu:577-583):
+            # CUDA updates on strictly-greater weight in order, so the
+            # FIRST chunk max wins ties (inclusive-cumsum == 1 selects the
+            # first maximal sublane), then strictly-greater across chunks.
+            m = jnp.max(w, axis=0, keepdims=True)               # [1, P]
+            is_m = (w == m) & (m > 0.0)
+            firsts = is_m & (_cumsum_sublanes(
+                is_m.astype(jnp.float32), K) <= 1.0)
+            sel = jnp.where(firsts, 1.0, 0.0)                   # [K, P]
+            pk_cand = jax.lax.dot_general(
+                inst[:, 17:21], sel, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)            # [4, P]
+            upd = m > max_w
+            pk = jnp.where(upd, pk_cand, pk)
+            max_w = jnp.where(upd, m, max_w)
         t_new = jnp.minimum(
             jnp.min(jnp.where(contrib, t_incl, jnp.inf), axis=0,
                     keepdims=True), t_cur)
         done_new = jnp.maximum(
             done, jnp.max(jnp.where(pass_mask & (t_incl < cfg.t_min),
                                     1.0, 0.0), axis=0, keepdims=True))
-        return c + 1, t_new, done_new
+        return c + 1, t_new, done_new, max_w, pk
 
     # Early exit when every pixel of the tile is saturated (the CUDA
     # block-wide done vote, forward.cu:506-508).
     def cond(state):
-        c, _, done = state
+        c, _, done = state[0], state[1], state[2]
         return (c < n_chunks) & (jnp.min(done) < 0.5)
 
-    c_end, t_final, _ = jax.lax.while_loop(
+    c_end, t_final, _, _, pk_final = jax.lax.while_loop(
         cond, body,
         (jnp.int32(0), jnp.ones((1, P), jnp.float32),
-         jnp.zeros((1, P), jnp.float32)))
+         jnp.zeros((1, P), jnp.float32),
+         jnp.zeros((1, P), jnp.float32),
+         jnp.zeros((4, P), jnp.float32)))
     # Drain the prefetch that an early exit leaves in flight.
     @pl.when(c_end < n_chunks)
     def _():
         dma(c_end, jax.lax.rem(c_end, 2)).wait()
     out_ref[0, FINAL_T_ROW:FINAL_T_ROW + 1] = t_final
+    if peak:
+        out_ref[0, PEAK_ROWS] = pk_final
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "grid", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "grid", "interpret",
+                                             "peak"))
 def composite_fwd_pallas(inst_table: jnp.ndarray, tile_start: jnp.ndarray,
                          tile_count: jnp.ndarray, cfg: RasterConfig,
                          grid: Tuple[int, int], interpret: bool = False,
-                         tile_base=None):
+                         tile_base=None, peak: bool = False):
     """inst_table: [cap, ROW] pre-gathered sorted instance rows.
-    Returns packed [T, CH_PAD, P] (rows 0:16 accum, 16 final_T)."""
+    Returns packed [T, CH_PAD, P] (rows 0:16 accum, 16 final_T; with
+    peak=True rows 17:21 carry argmax-weight depth + view pos)."""
     T = tile_start.shape[0]
     P = cfg.pixels_per_tile
     K = cfg.chunk
@@ -211,7 +236,7 @@ def composite_fwd_pallas(inst_table: jnp.ndarray, tile_start: jnp.ndarray,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, cfg=cfg),
+        functools.partial(_fwd_kernel, cfg=cfg, peak=peak),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, CH_PAD, P), jnp.float32),
         interpret=interpret,

@@ -172,14 +172,33 @@ def rasterize(means3d: jnp.ndarray,
         metallic, pre.depth[:, None], pre.pos_view,
     ], axis=1)  # [N, 21]
 
-    if cfg.use_pallas:
-        from .pallas_composite import composite_pallas
-        comp = composite_pallas
+    pk_depth = pk_pos = None
+    if cfg.use_pallas and argmax_depth:
+        # Inference path (forward.cu with argmax_depth — the reference
+        # never differentiates it): ONE forward kernel launch produces the
+        # accumulation rows AND the peak depth/pos rows; no custom-VJP
+        # wrapper needed since the whole G-buffer is stop-gradient here.
+        from .pallas_composite import (FINAL_T_ROW, NUM_CH as _NCH,
+                                       PEAK_ROWS, _pack_instances,
+                                       _use_interpret, composite_fwd_pallas)
+        table_sg = jax.lax.stop_gradient(table)
+        inst = _pack_instances(table_sg, b.ids, cfg.chunk)
+        packed = composite_fwd_pallas(inst, b.tile_start, b.tile_count, cfg,
+                                      grid, interpret=_use_interpret(),
+                                      peak=True)
+        accum, final_t = packed[:, :_NCH], packed[:, FINAL_T_ROW]
+        pk_img = _tiles_to_image(packed[:, PEAK_ROWS], grid, cfg,
+                                 height, width)
+        pk_depth, pk_pos = pk_img[0:1], pk_img[1:4]
     else:
-        comp = composite
-    accum, final_t = comp(
-        table, b.ids, b.tile_start, b.tile_count, b.inst_tile, b.inv_perm,
-        b.offsets, b.seg_gaussian, cfg, grid, (height, width))
+        if cfg.use_pallas:
+            from .pallas_composite import composite_pallas
+            comp = composite_pallas
+        else:
+            comp = composite
+        accum, final_t = comp(
+            table, b.ids, b.tile_start, b.tile_count, b.inst_tile, b.inv_perm,
+            b.offsets, b.seg_gaussian, cfg, grid, (height, width))
 
     img = _tiles_to_image(accum, grid, cfg, height, width)   # [CH, H, W]
     t_img = _tiles_to_image(final_t[:, None, :], grid, cfg, height, width)
@@ -193,8 +212,9 @@ def rasterize(means3d: jnp.ndarray,
     if argmax_depth:
         # Peak (max-weight) selection instead of the weighted mean
         # (forward.cu:612-628 with argmax_depth).
-        pk_depth, pk_pos = compute_peak_depth_pos(table, b, cfg, grid,
-                                                  height, width)
+        if pk_depth is None:
+            pk_depth, pk_pos = compute_peak_depth_pos(table, b, cfg, grid,
+                                                      height, width)
         out_depth = jnp.where(o > 1e-6, pk_depth, 0.0)
         out_pos = jnp.where(o > 1e-6, pk_pos, 0.0)
     else:

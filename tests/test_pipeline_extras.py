@@ -21,13 +21,13 @@ def test_mark_visible():
     np.testing.assert_array_equal(np.asarray(vis), [True, False, False])
 
 
-def _run(scene, argmax):
+def _run(scene, argmax, cfg=CFG):
     cam, w, h = scene["cam"], scene["width"], scene["height"]
     return rasterize(
         scene["xyz"], scene["cov3d"], scene["opacity"], scene["color"],
         scene["normal"], scene["albedo"], scene["roughness"],
         scene["metallic"], cam.w2c, cam.full_proj, cam.tanfovx, cam.tanfovy,
-        h, w, jnp.zeros(3), CFG, argmax_depth=argmax)
+        h, w, jnp.zeros(3), cfg, argmax_depth=argmax)
 
 
 def test_argmax_depth_picks_contributing_depth():
@@ -68,3 +68,22 @@ def test_lite_matches_full():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(depth), np.asarray(full.depth),
                                atol=1e-6)
+
+
+def test_argmax_depth_pallas_matches_jnp_peak():
+    """Pallas peak rows (composite_fwd_pallas peak=True, interpret on CPU)
+    vs the jnp chunk-loop oracle (compute_peak_depth_pos): identical
+    argmax-weight depth/pos selection including first-win tie-break."""
+    import dataclasses
+    scene = random_scene(n=80, seed=5)
+    cfg_j = dataclasses.replace(CFG, use_pallas=False)
+    cfg_p = dataclasses.replace(CFG, use_pallas=True)
+    out_j = _run(scene, argmax=True, cfg=cfg_j)
+    out_p = _run(scene, argmax=True, cfg=cfg_p)
+    np.testing.assert_allclose(np.asarray(out_p.depth), np.asarray(out_j.depth),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_p.pos_view),
+                               np.asarray(out_j.pos_view), atol=1e-5)
+    # And the accumulated channels agree too (same kernel, peak enabled).
+    np.testing.assert_allclose(np.asarray(out_p.color), np.asarray(out_j.color),
+                               atol=1e-4)
