@@ -150,10 +150,19 @@ def _psnr(a, b):
 
 def run_phase1_gate(size=128, iters=7000, n_train=128, n_test=8,
                     capacity=16384, max_capacity=1 << 17, n_gauss=800,
-                    jitter=0.04, keep_frac=0.6, seed=0):
-    """Render GT from a known scene, re-fit from jittered/subsampled
-    points with the full phase-1 schedule (densification ON), report
-    held-out PSNR.
+                    n_init=10_000, seed=0):
+    """Render GT from a known scene, re-fit with the full phase-1
+    schedule (densification ON), report held-out PSNR.
+
+    Init protocol matches the reference's synthetic-scene path
+    (readNerfSyntheticInfo, scene/dataset_readers.py:283-325): n_init
+    RANDOM points uniform in [-1.3, 1.3]^3 with random colors — scaled
+    from the reference's 100k @ 800px to the gate's 128px. (Earlier
+    rounds initialised from a sparse jittered subsample of the GT —
+    huge KNN splats whose gradients all exceed the densify threshold,
+    which drives the AbsGS selection into an exponential split regime
+    the reference never enters; r3's 19.6 dB stall was that regime
+    hitting the fixed capacity ceiling.)
 
     Protocol scale mirrors the reference evaluation setup: 128 train
     views on a ring (≳ the 100-view NeRF-synthetic train split density —
@@ -184,13 +193,11 @@ def run_phase1_gate(size=128, iters=7000, n_train=128, n_test=8,
     gt_test = [render_fn(gt, c) for c in test_cams]
     log(f"phase1 GT rendered ({n_train}+{n_test} views @ {size}px)")
 
-    # Degraded init: subsampled, jittered points with colorless SH.
+    # Reference synthetic init: random points + random colors
+    # (dataset_readers.py:310-315, scaled down with the resolution).
     rng = np.random.RandomState(seed + 1)
-    pts = np.asarray(gt.xyz[:n_gauss])
-    keep = rng.rand(n_gauss) < keep_frac
-    pts = pts[keep] + rng.normal(scale=jitter, size=(keep.sum(), 3)) \
-        .astype(np.float32)
-    cols = np.full((len(pts), 3), 0.5, np.float32)
+    pts = (rng.random((n_init, 3)).astype(np.float32) * 2.6 - 1.3)
+    cols = rng.random((n_init, 3)).astype(np.float32)
     params = create_from_points(pts, cols, capacity=capacity)
 
     from gi_gs_tpu.ops.rasterize.pipeline import bucket_cap_instances
