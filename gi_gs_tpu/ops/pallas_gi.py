@@ -224,8 +224,7 @@ def _kernel(dirs_ref, fxy_ref, z_ref, rgb_ref, nrm_ref, pos_ref,
                 new_hit = mine & is_hit
                 if with_rgb:
                     add = jnp.where(new_hit, wgt, 0.0)
-                    r, g = _unpack_rg(slab_at(rgb_ref, 0))
-                    b = slab_at(rgb_ref, 1)
+                    r, g, b = _unpack_rgb(slab_at(rgb_ref, 0), fxy_ref[2])
                     dif2 = (dif2[0] + add * r, dif2[1] + add * g,
                             dif2[2] + add * b)
                 rem2 = rem & jnp.logical_not(mine)
@@ -348,8 +347,7 @@ def _kernel_coherent(dirs_ref, fxy_ref, offs_ref, z_ref, rgb_ref, nrm_ref,
             hit = hit | new_hit
             if with_rgb:
                 add = jnp.where(new_hit, wgt, 0.0)
-                r, g = _unpack_rg(slab_at(rgb_ref, 0))
-                b = slab_at(rgb_ref, 1)
+                r, g, b = _unpack_rgb(slab_at(rgb_ref, 0), fxy_ref[2])
                 dif_d = (dif_d[0] + add * r, dif_d[1] + add * g,
                          dif_d[2] + add * b)
         occ = occ + jnp.where(hit, wgt, 0.0)
@@ -434,35 +432,44 @@ def _centre_offset_table(nrm_p, pos_p, dirs, fx, fy, h, w, p: GIParams,
 
 
 def _build_tables(pos_z, rgb, h, w):
-    """z table f32 plus the RGB table packed as [2, ht, wt] f32 words:
-    channel 0 carries (bf16(r) << 16 | bf16(g)) bit-packed (Mosaic's
-    dynamic rotate only handles 32-bit lanes, and the packing also saves
-    one slab fetch + 1.9 MB of VMEM at 800x800); channel 1 is b at full
-    f32. r/g texels are bf16-rounded — see the module docstring."""
+    """z table f32 plus the RGB table packed into ONE [1, ht, wt] f32
+    word per texel: 11-11-10 fixed point (r:21..31, g:10..20, b:0..9)
+    normalised by the image max (returned as `scale`). One slab fetch
+    instead of the previous two (bf16-pair + f32 b) — the dominant cost
+    of a fetch is the two dynamic rolls on the aligned [SUP_R, 256]
+    superset, so fewer slabs is a direct win. Quantisation bounds the
+    additive indirect term by ~2.4e-4 * max (r/g) / 4.9e-4 * max (b) per
+    texel, tighter than the previous bf16 rounding (~0.4% relative);
+    tests/test_pallas_gi.py bounds the end-to-end error."""
     ht, wt = _table_dims(h, w)
     ztab = jnp.zeros((ht, wt), jnp.float32)
     ztab = jax.lax.dynamic_update_slice(ztab, pos_z, (ROW_M, COL_M))
     if rgb is None:
-        rgbtab = jnp.zeros((2, 8, 128), jnp.float32)  # unused placeholder
+        rgbtab = jnp.zeros((1, 8, 128), jnp.float32)  # unused placeholder
+        scale = jnp.float32(1.0)
     else:
-        b16 = jax.lax.bitcast_convert_type(
-            rgb[:2].astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
-        packed = jax.lax.bitcast_convert_type(
-            (b16[0] << 16) | b16[1], jnp.float32)
-        rgbtab = jnp.zeros((2, ht, wt), jnp.float32)
+        scale = jnp.maximum(jnp.max(rgb), 1e-8)
+        q = jnp.clip(rgb / scale, 0.0, 1.0)
+        qr = jnp.round(q[0] * 2047.0).astype(jnp.int32)
+        qg = jnp.round(q[1] * 2047.0).astype(jnp.int32)
+        qb = jnp.round(q[2] * 1023.0).astype(jnp.int32)
+        word = jax.lax.bitcast_convert_type(
+            (qr << 21) | (qg << 10) | qb, jnp.float32)
+        rgbtab = jnp.zeros((1, ht, wt), jnp.float32)
         rgbtab = jax.lax.dynamic_update_slice(
-            rgbtab, jnp.stack([packed, rgb[2]]), (0, ROW_M, COL_M))
-    return ztab, rgbtab
+            rgbtab, word[None], (0, ROW_M, COL_M))
+    return ztab, rgbtab, scale
 
 
-def _unpack_rg(slab_rg):
-    """Inverse of the _build_tables packing: f32 word -> (r, g) f32."""
-    w_i = jax.lax.bitcast_convert_type(slab_rg, jnp.int32)
-    r = jax.lax.bitcast_convert_type(
-        jnp.bitwise_and(w_i, jnp.int32(-65536)), jnp.float32)
-    g = jax.lax.bitcast_convert_type(
-        jnp.left_shift(w_i, 16), jnp.float32)
-    return r, g
+def _unpack_rgb(slab, scale):
+    """Inverse of the _build_tables packing: f32 word -> (r, g, b) f32.
+    Arithmetic right shifts sign-extend, but the field masks drop the
+    extended bits, so plain int32 ops are exact."""
+    w_i = jax.lax.bitcast_convert_type(slab, jnp.int32)
+    r = ((w_i >> 21) & 2047).astype(jnp.float32) * (scale / 2047.0)
+    g = ((w_i >> 10) & 2047).astype(jnp.float32) * (scale / 2047.0)
+    b = (w_i & 1023).astype(jnp.float32) * (scale / 1023.0)
+    return r, g, b
 
 
 @functools.partial(jax.jit,
@@ -481,10 +488,10 @@ def _march_pallas(normal_view, pos, rgb, fx, fy, p: GIParams,
     dirs = jnp.asarray(tab_np)
     nd = dirs.shape[0]
 
-    ztab, rgbtab = _build_tables(pos[2], rgb, h, w)
+    ztab, rgbtab, rgb_scale = _build_tables(pos[2], rgb, h, w)
     nrm_p = jnp.pad(normal_view, ((0, 0), (0, hp - h), (0, wp - w)))
     pos_p = jnp.pad(pos, ((0, 0), (0, hp - h), (0, wp - w)))
-    fxy = jnp.asarray([fx, fy], jnp.float32)
+    fxy = jnp.stack([jnp.float32(fx), jnp.float32(fy), rgb_scale])
     grid = (hp // BH, wp // BW)
 
     # index maps receive (grid indices..., *scalar-prefetch refs)
