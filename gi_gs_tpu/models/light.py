@@ -77,6 +77,19 @@ def export_envmap(base: jnp.ndarray, res: List[int] = (512, 1024)) -> jnp.ndarra
     return cm.sample_cubemap(base, envmap_dirs(res))
 
 
+def export_envmap_np(base, res: List[int] = (512, 1024)) -> np.ndarray:
+    """Host-side export via the static seamless tap tables
+    (_latlong_struct): same bilinear rule as export_envmap, pure numpy.
+    Used where eager device ops are unreliable (axon backend) or no
+    accelerator is wanted for a tiny image."""
+    base = np.asarray(base)
+    R = base.shape[1]
+    tap_idx, tap_w, _, _ = _latlong_struct(R, res[0], res[1])
+    flat = base.reshape(-1, 3)
+    out = (flat[tap_idx] * tap_w[..., None]).sum(axis=1)
+    return out.reshape(res[0], res[1], 3).astype(np.float32)
+
+
 @functools.lru_cache(maxsize=4)
 def _latlong_struct(res_cube: int, h: int, w: int):
     """Static tap structure (numpy) for sampling the lat-long grid from a
