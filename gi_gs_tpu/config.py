@@ -58,6 +58,11 @@ class OptimizationConfig:
     densify_from_iter: int = 500
     densify_until_iter: int = 15_000
     densify_grad_threshold: float = 0.0002
+    # Screen-size prune threshold in pixels, enabled after the first
+    # opacity reset (the reference hardcodes 20 at train.py:504 —
+    # calibrated for 800px images; scale it when training far from that
+    # resolution).
+    size_screen_threshold: float = 20.0
     random_background: bool = False
     # Quirk preserved from the reference: the BRDF LR schedule is offset by
     # a hard-coded 30000 regardless of --pbr_iteration

@@ -152,9 +152,9 @@ def _apply_schedule_updates(cfg, state, params, grads, ndc_grad, aux_render,
     def densify_branch(args):
         params, stats, opt_state, k = args
         # size_threshold = 20 after the first opacity reset, else disabled
-        # (train.py:504).
+        # (train.py:504; configurable via opt.size_screen_threshold).
         size_thr = jnp.where(iteration > cfg.opt.opacity_reset_interval,
-                             20.0, jnp.inf)
+                             cfg.opt.size_screen_threshold, jnp.inf)
         new_params, new_stats, new_slots, dropped = densify_and_prune(
             k, params, stats, cfg.opt.densify_grad_threshold, 0.05,
             cameras_extent, size_thr, cfg.opt.percent_dense)

@@ -17,11 +17,14 @@ from tools.quality_gate import run_phase1_gate, run_phase2_gate
 
 @pytest.mark.slow
 def test_phase1_recovery():
-    r = run_phase1_gate(size=64, iters=400, n_train=8, n_test=2,
-                        capacity=4096, n_gauss=500)
-    # 400 iters at 64px reaches ~23 dB (measured) vs ~14 dB untrained;
-    # full-scale bar (1500 it @128px) is 30 dB in QUALITY_r03.json.
-    assert r["test_psnr"] > 21.0, r
+    r = run_phase1_gate(size=64, iters=1200, n_train=16, n_test=2,
+                        capacity=4096, max_capacity=16384, n_gauss=500,
+                        n_init=2000)
+    # Random-init protocol (reference readNerfSyntheticInfo): the first
+    # ~600 iters clean up the random cloud (white-bg initial reset), then
+    # PSNR climbs; measured ~22 dB at 1200 iters on this reduced config.
+    # Full-scale bar (7000 it @128px) is 30 dB in QUALITY_r04.json.
+    assert r["test_psnr"] > 19.0, r
 
 
 @pytest.mark.slow
@@ -29,4 +32,4 @@ def test_phase2_recovery():
     r = run_phase2_gate(size=64, iters=200, n_train=8, n_test=2,
                         capacity=2048, n_gauss=500, light_res=64)
     assert r["albedo_psnr"] > 18.0, r
-    assert r["env_corr"] > 0.75, r
+    assert r["env_irradiance_corr"] > 0.75, r
