@@ -88,11 +88,11 @@ def _vmem_limit(R: int, P: int, Er: int, Ec: int) -> int:
     of assuming v5e's 128 MB (smaller parts get a truthful request the
     compiler can still reject with a clear OOM)."""
     need = 4 * (2 * P * R * R + 2 * 3 * Er * Ec + 2 * 3 * R * R)
-    # 3x headroom: Mosaic's stack accounting adds roll temporaries and
-    # alignment padding beyond the raw buffers (measured 33.3 MB actual
-    # vs 11.9 MB raw at R=256, P=15 — a 2x factor under-provisioned by
-    # 1.5 MB and failed to compile).
-    need = int(need * 3.0)
+    # 6x headroom: Mosaic's stack accounting adds roll temporaries and
+    # alignment padding well beyond the raw buffers (measured 33.3 MB
+    # actual vs 11.9 MB raw at R=256/P=15, and 28.8 MB vs 6.9 MB at
+    # R=128/P=41 — 2x and 3x factors both failed to compile by <2 MB).
+    need = int(need * 6.0)
     return max(16 * 1024 * 1024, min(need, 128 * 1024 * 1024))
 
 

@@ -200,13 +200,13 @@ def run_phase1_gate(size=128, iters=7000, n_train=128, n_test=8,
     cfg.opt = _dc.replace(
         cfg.opt,
         densify_grad_threshold=cfg.opt.densify_grad_threshold * 800.0 / size,
-        # The 20px big-splat prune is calibrated at 800px too: unscaled it
-        # allows splats covering 16% of a 128px image (27k-deep tiles of
-        # soft overdraw); linearly scaled (3.2px at 128) it over-prunes —
-        # the minimum legitimate splat radius (~1.5-3px from the 0.3px
-        # low-pass + 3-sigma rect) does NOT shrink with resolution, and a
-        # 3.2px bar deleted 90% of a converged population. Clamp at 8px.
-        size_screen_threshold=max(20.0 * size / 800.0, 8.0))
+        # The big-splat prune stays at the reference-literal 20px:
+        # resolution-scaling it was tried (3.2px and 8px at 128px) and
+        # made things WORSE (the minimum legitimate splat radius does not
+        # shrink with resolution, so scaled bars delete converged
+        # population and set off prune/densify oscillation — measured
+        # final 19.7/20.5 dB vs 25.9 with the literal value).
+        size_screen_threshold=20.0)
     gt = make_gt_scene(n=n_gauss, seed=seed, capacity=capacity)
     train_cams, test_cams = _split_ring(ring_cameras(n_train + n_test,
                                                      size), n_test)
