@@ -151,7 +151,7 @@ def _psnr(a, b):
 
 
 def run_phase1_gate(size=128, iters=7000, n_train=128, n_test=8,
-                    capacity=16384, max_capacity=1 << 18, n_gauss=800,
+                    capacity=16384, max_capacity=1 << 17, n_gauss=800,
                     n_init=10_000, seed=0):
     """Render GT from a known scene, re-fit with the full phase-1
     schedule (densification ON), report held-out PSNR.
@@ -188,25 +188,14 @@ def run_phase1_gate(size=128, iters=7000, n_train=128, n_test=8,
     # views as invisible fog and wreck held-out PSNR (measured 23 train /
     # 16 test dB with bg=0 at iter 5000).
     cfg = _build_cfg(size, capacity, 64, white_background=True)
-    # Densify-threshold resolution scaling: the reference's 0.0002 is
-    # calibrated at 800px. The mean NDC gradient of a converged splat
-    # scales ~ sigma_px / H (pixel-scale splats at any resolution), so at
-    # the gate's reduced size the unscaled threshold keeps selecting most
-    # points forever — measured: perpetual ~20%/round selection, 922k
-    # dropped instances and a 26 dB churn plateau at 128px, while the
-    # same run at 800px would taper. Scale by 800/size for parity with
-    # the reference's operating point.
-    import dataclasses as _dc
-    cfg.opt = _dc.replace(
-        cfg.opt,
-        densify_grad_threshold=cfg.opt.densify_grad_threshold * 800.0 / size,
-        # The big-splat prune stays at the reference-literal 20px:
-        # resolution-scaling it was tried (3.2px and 8px at 128px) and
-        # made things WORSE (the minimum legitimate splat radius does not
-        # shrink with resolution, so scaled bars delete converged
-        # population and set off prune/densify oscillation — measured
-        # final 19.7/20.5 dB vs 25.9 with the literal value).
-        size_screen_threshold=20.0)
+    # NOTE on tried-and-rejected rescalings (r4 measurements): scaling
+    # densify_grad_threshold by 800/size (0.00125 at 128px) cut dropped
+    # instances 922k -> 18k but the final held-out PSNR FELL (20.4 vs
+    # 25.9) — fewer, coarser densifications refine the scene less, and
+    # AbsGS churn at the reference constants is evidently part of how
+    # quality is reached. Scaling the 20px big-splat prune (3.2px / 8px)
+    # deleted converged population and oscillated (19.7 / 20.5 dB). The
+    # gate therefore runs the reference constants literally.
     gt = make_gt_scene(n=n_gauss, seed=seed, capacity=capacity)
     train_cams, test_cams = _split_ring(ring_cameras(n_train + n_test,
                                                      size), n_test)
