@@ -8,9 +8,17 @@ The CUDA path sizes its instance buffer with a device->host sync
 instance list has a static capacity and we report overflow instead.
 
 Pipeline (all static shapes, no atomics):
-  1. exclusive-scan `tiles_touched` -> per-Gaussian offsets,
-  2. ragged expansion via a scatter of segment-start markers + cumsum:
-     instance j -> owning gaussian, local slot -> (dy, dx) in its rect,
+  1. exclusive-scan of per-Gaussian instance counts -> offsets. Every
+     gaussian emits max(tiles_touched, 1) instances: culled gaussians
+     contribute one sentinel-tile "dummy", which bounds the gaussian
+     span of any 128-instance block and lets the Pallas expansion fetch
+     one contiguous table window per block (pallas_expand.py). Dummies
+     sort into the sentinel region and never reach a tile list.
+  2. ragged expansion: instance j -> owning gaussian, cell within its
+     tile rect, depth, and an exact per-tile alpha cull. Two backends:
+     a Pallas kernel (default on TPU; monotone-window DMA + one-hot MXU
+     row select) and an XLA path (scatter markers + cumsum + row
+     gather) kept as the oracle.
   3. stable multi-key sort by (tile_id, depth) with lax.sort,
   4. tile ranges via searchsorted over the sorted tile ids.
 
@@ -20,11 +28,10 @@ unsorting — no scatter-adds anywhere (TPU has no fast atomics).
 
 Note on a rejected design (measured slower on v5e): pre-sorting the
 *gaussians* by depth makes instance emission depth-major, which reduces
-the instance sort to a single fused int32 key `tile << ceil(log2(cap)) |
-j` (no payload, no stability needed). The cheaper sort (-4 ms @1M rows)
-was outweighed by the N-row depth sort, the extra id gathers, and the
-final rank->gaussian permutation (+20 ms total). The `seg_gaussian` field
-(identity here) keeps the interface general for that family of layouts.
+the instance sort to a single fused int32 key. The cheaper sort was
+outweighed by the N-row depth sort and the extra gathers. The
+`seg_gaussian` field (identity here) keeps the interface general for
+that family of layouts.
 """
 from __future__ import annotations
 
@@ -44,30 +51,35 @@ class Binning(NamedTuple):
     inv_perm: jnp.ndarray    # [CAP] int32 inverse of perm
     tile_start: jnp.ndarray  # [T] int32 first sorted-instance row of each tile
     tile_count: jnp.ndarray  # [T] int32 instances in each tile (capped at cap_tile)
-    offsets: jnp.ndarray     # [N+1] int32 per-gaussian segment bounds (segment order)
+    offsets: jnp.ndarray     # [N+1] int32 per-gaussian segment bounds (segment
+                             # order, counts' = max(tiles_touched, 1))
     seg_gaussian: jnp.ndarray  # [N] int32 original gaussian of segment k, or None (identity)
-    num_instances: jnp.ndarray  # [] int32 total emitted (pre-cap)
-    overflow: jnp.ndarray    # [] int32 instances dropped by cap_instances
+    num_instances: jnp.ndarray  # [] int32 real instances emitted (pre-cap, no dummies)
+    overflow: jnp.ndarray    # [] int32 rows beyond cap_instances (incl. dummies)
     max_tile_count: jnp.ndarray  # [] int32 max per-tile population (pre-cap)
 
 
-def bin_and_sort(pre: Preprocessed, height: int, width: int,
-                 cfg: RasterConfig) -> Binning:
+def _expand_xla(pre: Preprocessed, height: int, width: int,
+                cfg: RasterConfig):
+    """XLA expansion oracle. Returns (tile, depth, gid, offsets, total')
+    with the same semantics as pallas_expand.expand_pallas (exact
+    arithmetic cull instead of the bf16-conservative one)."""
     ty_tiles, tx_tiles = cfg.grid(height, width)
     num_tiles = ty_tiles * tx_tiles
     cap = cfg.cap_instances
     n = pre.valid.shape[0]
 
     counts = pre.tiles_touched  # [N] int32, 0 for culled
-    cum = jnp.cumsum(counts)  # inclusive
+    counts1 = jnp.maximum(counts, 1)
+    cum = jnp.cumsum(counts1)  # inclusive
     offsets = jnp.concatenate([jnp.zeros((1,), cum.dtype), cum])  # [N+1]
     total = cum[-1]
 
     # Ragged expansion: instance j in [0, cap) -> owning gaussian. A
     # scatter of segment-start markers + one cumsum beats a [cap]-wide
     # binary search over the offsets (searchsorted costs log2(N) strided
-    # gathers per instance on TPU). Empty segments scatter-accumulate at
-    # the same position, so the cumsum skips them correctly.
+    # gathers per instance on TPU). counts' >= 1 makes offsets strictly
+    # increasing, so every marker lands on a distinct row.
     j = jnp.arange(cap, dtype=jnp.int32)
     starts = jnp.clip(offsets[1:-1], 0, cap - 1)  # first row of gaussians 1..N-1
     # Gaussians whose segment starts beyond capacity contribute no marker
@@ -85,12 +97,17 @@ def bin_and_sort(pre: Preprocessed, height: int, width: int,
     # fetch >= a lane-row per index anyway, so batching the per-gaussian
     # scalars into one table costs the same bytes once instead of N times.
     f2i = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)
+    fl = pre.flat
+    # Non-emitting gaussians get rect_w = 0 so their dummy row is
+    # recognisable after the gather. The 1-D column views avoid the
+    # layout-conversion copies [N, k]-stack slices would trigger.
+    rmax_eff = jnp.where(counts > 0, fl.rmax_x, fl.rmin_x)
     aux = jnp.stack([
         offsets[:-1].astype(jnp.int32),
-        pre.rect_min[:, 0], pre.rect_min[:, 1], pre.rect_max[:, 0],
+        fl.rmin_x, fl.rmin_y, rmax_eff,
         f2i(pre.depth),
-        f2i(pre.means2d[:, 0]), f2i(pre.means2d[:, 1]),
-        f2i(pre.conic[:, 0]), f2i(pre.conic[:, 1]), f2i(pre.conic[:, 2]),
+        f2i(fl.px), f2i(fl.py),
+        f2i(fl.cxx), f2i(fl.cxy), f2i(fl.cyy),
         f2i(pre.opacity),
     ], axis=1)                                        # [N, 11]
     arow = aux[g_safe]                                # [cap, 11]
@@ -142,10 +159,27 @@ def bin_and_sort(pre: Preprocessed, height: int, width: int,
     psd = (cxx > 0) & (cyy > 0) & (cxx * cyy - cxy * cxy > 0)
     keep = ~psd | (op * jnp.exp(fmax) >= cfg.alpha_min)
 
-    tile = jnp.where(in_range & keep, tile, num_tiles)  # sentinel sorts last
+    tile = jnp.where(in_range & keep & (rw >= 1), tile, num_tiles)
+    depth = jnp.where(in_range, i2f(arow[:, 4]), jnp.inf)
+    return tile, depth, g_safe, offsets.astype(jnp.int32), total
 
-    depth = jnp.where(
-        in_range, i2f(arow[:, 4]), jnp.inf)
+
+def bin_and_sort(pre: Preprocessed, height: int, width: int,
+                 cfg: RasterConfig) -> Binning:
+    ty_tiles, tx_tiles = cfg.grid(height, width)
+    num_tiles = ty_tiles * tx_tiles
+    cap = cfg.cap_instances
+
+    if cfg.expand_backend == "pallas":
+        from .pallas_composite import _use_interpret
+        from .pallas_expand import expand_pallas
+        tile, depth, g_safe, offsets, total = expand_pallas(
+            pre, height, width, cfg, interpret=_use_interpret())
+    else:
+        tile, depth, g_safe, offsets, total = _expand_xla(
+            pre, height, width, cfg)
+
+    j = jnp.arange(cap, dtype=jnp.int32)
 
     # Stable two-key sort (tile asc, depth asc) carrying the original
     # gaussian-major position AND the gaussian id (a payload column costs
@@ -171,9 +205,9 @@ def bin_and_sort(pre: Preprocessed, height: int, width: int,
         inv_perm=inv_perm,
         tile_start=tile_start,
         tile_count=tile_count,
-        offsets=offsets.astype(jnp.int32),
+        offsets=offsets,
         seg_gaussian=None,  # segments are already in original gaussian order
-        num_instances=total.astype(jnp.int32),
+        num_instances=pre.tiles_touched.sum().astype(jnp.int32),
         overflow=jnp.maximum(total - cap, 0).astype(jnp.int32),
         max_tile_count=raw_count.max().astype(jnp.int32),
     )

@@ -39,6 +39,12 @@ class RasterConfig:
     # Pallas kernel path for the compositing fwd/bwd (interpret mode is
     # selected automatically on CPU). The jnp path remains the oracle.
     use_pallas: bool = True
+    # Instance-expansion backend for bin_and_sort: "pallas" (monotone-
+    # window DMA + one-hot MXU select, pallas_expand.py) or "xla"
+    # (marker scatter + cumsum + row gather — the exact-arithmetic
+    # oracle). Both produce identical composited images; the pallas
+    # alpha-cull is conservatively slacked for its bf16 inputs.
+    expand_backend: str = "pallas"
 
     # Frustum / numeric constants (cuda_rasterizer semantics)
     near: float = 0.2            # auxiliary.h:166

@@ -127,7 +127,10 @@ def count_instances(means3d: jnp.ndarray, cov3d: jnp.ndarray,
     costs ~100 separate remote compiles per probe on networked backends."""
     pre = preprocess(means3d, cov3d, w2c, full_proj, tanfovx, tanfovy,
                      width, height, cfg, opacity=opacity)
-    return pre.tiles_touched.sum().astype(jnp.int32)
+    # counts' = max(tiles_touched, 1): every gaussian occupies at least a
+    # dummy row in the instance list (see binning.py step 1), so capacity
+    # sizing must include them.
+    return jnp.maximum(pre.tiles_touched, 1).sum().astype(jnp.int32)
 
 
 CAP_QUANTUM = 1 << 16  # instance-capacity bucket granularity

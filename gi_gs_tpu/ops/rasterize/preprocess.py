@@ -17,6 +17,26 @@ import jax.numpy as jnp
 from .config import RasterConfig
 
 
+class PreFlat(NamedTuple):
+    """1-D per-gaussian columns mirroring the stacked Preprocessed fields.
+
+    TPU layout note: [N, 2]/[N, 3] stacks get column-major-ish layouts
+    from XLA, and slicing their columns downstream inserts pathological
+    T(1,128)->T(8,128) layout-conversion copies (~0.5 ms per column at
+    lego scale). Consumers that need per-column access (the binning
+    backends, the Pallas table packers) read these 1-D T(1024) views
+    instead; XLA CSEs them with the stacked versions for free."""
+    px: jnp.ndarray         # [N] mean2d x
+    py: jnp.ndarray         # [N] mean2d y
+    cxx: jnp.ndarray        # [N] conic xx
+    cxy: jnp.ndarray        # [N] conic xy
+    cyy: jnp.ndarray        # [N] conic yy
+    rmin_x: jnp.ndarray     # [N] int32
+    rmin_y: jnp.ndarray     # [N] int32
+    rmax_x: jnp.ndarray     # [N] int32
+    rmax_y: jnp.ndarray     # [N] int32
+
+
 class Preprocessed(NamedTuple):
     valid: jnp.ndarray      # [N] bool — survives culling
     means2d: jnp.ndarray    # [N, 2] pixel coords (ndc2Pix convention)
@@ -29,6 +49,7 @@ class Preprocessed(NamedTuple):
     tiles_touched: jnp.ndarray  # [N] int32
     opacity: jnp.ndarray    # [N] activated opacity (1.0 when not provided);
                             # consumed by the binning tile-cull only
+    flat: PreFlat           # 1-D column views (see PreFlat)
 
 
 def ndc2pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -84,7 +105,7 @@ def compute_cov2d(p_view: jnp.ndarray, cov3d: jnp.ndarray, w2c: jnp.ndarray,
     cxx = t0x * u0x + t0y * u0y + t0z * u0z + lowpass
     cxy = t0x * u1x + t0y * u1y + t0z * u1z
     cyy = t1x * u1x + t1y * u1y + t1z * u1z + lowpass
-    return jnp.stack([cxx, cxy, cyy], axis=-1)
+    return cxx, cxy, cyy
 
 
 def preprocess(means3d: jnp.ndarray, cov3d: jnp.ndarray, w2c: jnp.ndarray,
@@ -119,23 +140,26 @@ def preprocess(means3d: jnp.ndarray, cov3d: jnp.ndarray, w2c: jnp.ndarray,
     def xform(M, row):
         return M[row, 0] * x + M[row, 1] * y + M[row, 2] * z + M[row, 3]
 
-    p_view = jnp.stack([xform(w2c, 0), xform(w2c, 1), xform(w2c, 2)], axis=-1)
+    view_z = xform(w2c, 2)
+    p_view = jnp.stack([xform(w2c, 0), xform(w2c, 1), view_z], axis=-1)
     hx, hy, hz, hw = (xform(full_proj, 0), xform(full_proj, 1),
                       xform(full_proj, 2), xform(full_proj, 3))
     denom = hw + 1e-7
     p_w = 1.0 / jnp.where(jnp.abs(denom) > 1e-8, denom, 1.0)
-    p_proj = jnp.stack([hx, hy, hz], axis=-1) * p_w[:, None]
 
-    in_front = p_view[:, 2] > cfg.near
+    in_front = view_z > cfg.near
 
-    cov = compute_cov2d(p_view, cov3d, w2c, fx, fy, tanfovx, tanfovy, cfg.lowpass)
-    det = cov[:, 0] * cov[:, 2] - cov[:, 1] * cov[:, 1]
+    covxx, covxy, covyy = compute_cov2d(p_view, cov3d, w2c, fx, fy,
+                                        tanfovx, tanfovy, cfg.lowpass)
+    det = covxx * covyy - covxy * covxy
     det_ok = det != 0.0
     det_inv = 1.0 / jnp.where(det_ok, det, 1.0)
-    conic = jnp.stack([cov[:, 2] * det_inv, -cov[:, 1] * det_inv,
-                       cov[:, 0] * det_inv], axis=-1)
+    conic_xx = covyy * det_inv
+    conic_xy = -covxy * det_inv
+    conic_yy = covxx * det_inv
+    conic = jnp.stack([conic_xx, conic_xy, conic_yy], axis=-1)
 
-    mid = 0.5 * (cov[:, 0] + cov[:, 2])
+    mid = 0.5 * (covxx + covyy)
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     lambda1 = mid + disc
     # max eigenvalue can be negative for culled garbage rows; clamp keeps
@@ -155,8 +179,8 @@ def preprocess(means3d: jnp.ndarray, cov3d: jnp.ndarray, w2c: jnp.ndarray,
     s_cut = jnp.where(op < cfg.alpha_min, 0.0, jnp.minimum(s_cut, 3.0))
     radius_cut = jnp.ceil(s_cut * sigma)
 
-    px = ndc2pix(p_proj[:, 0], width)
-    py = ndc2pix(p_proj[:, 1], height)
+    px = ndc2pix(hx * p_w, width)
+    py = ndc2pix(hy * p_w, height)
     if ndc_offset is not None:
         # Zero-valued hook: d(px)/d(ndc_offset_x) = W/2 exactly like the
         # CUDA ddelx_dx factor (backward.cu:505-506,616-617).
@@ -215,11 +239,14 @@ def preprocess(means3d: jnp.ndarray, cov3d: jnp.ndarray, w2c: jnp.ndarray,
         valid=valid,
         means2d=means2d,
         conic=conic,
-        depth=p_view[:, 2],
+        depth=view_z,
         pos_view=p_view,
         radius=radius,
         rect_min=jnp.stack([rect_min_x, rect_min_y], axis=-1),
         rect_max=jnp.stack([rect_max_x, rect_max_y], axis=-1),
         tiles_touched=tiles_touched,
         opacity=op,
+        flat=PreFlat(px=px, py=py, cxx=conic_xx, cxy=conic_xy,
+                     cyy=conic_yy, rmin_x=rect_min_x, rmin_y=rect_min_y,
+                     rmax_x=rect_max_x, rmax_y=rect_max_y),
     )

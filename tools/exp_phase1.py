@@ -1,0 +1,35 @@
+"""Phase-1 gate experiments (round 5): isolate the 25.9-vs-30 dB gap.
+
+Hypotheses (VERDICT r4 "next round" #1):
+  ceiling      — init AT the GT scene, run the literal schedule: does the
+                 densify/reset machinery destabilize a converged scene?
+  refine       — reference protocol *shape*: densify for the first half,
+                 refine with a frozen population for the second half
+                 (ref densify_until=15000 of 30000; the r4 gate evaluated
+                 mid-densification, 1000 iters past an opacity reset).
+  refine_cap18 — refine + doubled capacity ceiling (the r4 run saturated
+                 131k and dropped 922k densification requests).
+
+Run: python tools/exp_phase1.py <name>   (writes tools/exp_phase1_<name>.json)
+"""
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from tools.quality_gate import run_phase1_gate
+
+CFGS = {
+    "ceiling": dict(iters=4000, init_at="gt", eval_every=500),
+    "refine": dict(iters=14000, densify_until=7000, eval_every=1000),
+    "refine_cap18": dict(iters=14000, densify_until=7000,
+                         max_capacity=1 << 18, eval_every=1000),
+}
+
+if __name__ == "__main__":
+    name = sys.argv[1]
+    out = run_phase1_gate(**CFGS[name])
+    with open(f"tools/exp_phase1_{name}.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({"exp": name, "final": out["test_psnr"],
+                      "trajectory": out["trajectory"]}))

@@ -152,7 +152,8 @@ def _psnr(a, b):
 
 def run_phase1_gate(size=128, iters=7000, n_train=128, n_test=8,
                     capacity=16384, max_capacity=1 << 17, n_gauss=800,
-                    n_init=10_000, seed=0):
+                    n_init=10_000, seed=0, densify_until=None,
+                    init_at="random", eval_every=1000):
     """Render GT from a known scene, re-fit with the full phase-1
     schedule (densification ON), report held-out PSNR.
 
@@ -188,6 +189,14 @@ def run_phase1_gate(size=128, iters=7000, n_train=128, n_test=8,
     # views as invisible fog and wreck held-out PSNR (measured 23 train /
     # 16 test dB with bg=0 at iter 5000).
     cfg = _build_cfg(size, capacity, 64, white_background=True)
+    if densify_until is not None:
+        # Protocol-shape knob: the reference trains 2x past the densify
+        # window (densify_until=15000 of 30000 iters, then refines with a
+        # frozen population; arguments/__init__.py:95 + README train
+        # lengths). densify_until=iters//2 reproduces that shape at the
+        # gate's truncated horizon.
+        cfg.opt = dataclasses.replace(cfg.opt,
+                                      densify_until_iter=densify_until)
     # NOTE on tried-and-rejected rescalings (r4 measurements): scaling
     # densify_grad_threshold by 800/size (0.00125 at 128px) cut dropped
     # instances 922k -> 18k but the final held-out PSNR FELL (20.4 vs
@@ -211,9 +220,16 @@ def run_phase1_gate(size=128, iters=7000, n_train=128, n_test=8,
     # Reference synthetic init: random points + random colors
     # (dataset_readers.py:310-315, scaled down with the resolution).
     rng = np.random.RandomState(seed + 1)
-    pts = (rng.random((n_init, 3)).astype(np.float32) * 2.6 - 1.3)
-    cols = rng.random((n_init, 3)).astype(np.float32)
-    params = create_from_points(pts, cols, capacity=capacity)
+    if init_at == "gt":
+        # Diagnostic: start AT the true scene (deep copy — the jitted step
+        # donates its buffers and gt is still needed for eval) to measure
+        # whether the densify/reset schedule is stable at the optimum.
+        import jax as _jax
+        params = _jax.tree.map(jnp.copy, gt)
+    else:
+        pts = (rng.random((n_init, 3)).astype(np.float32) * 2.6 - 1.3)
+        cols = rng.random((n_init, 3)).astype(np.float32)
+        params = create_from_points(pts, cols, capacity=capacity)
 
     from gi_gs_tpu.ops.rasterize.pipeline import bucket_cap_instances
     cap_i = trainer.probe_cap_instances(cfg, gt, train_cams)
@@ -284,7 +300,7 @@ def run_phase1_gate(size=128, iters=7000, n_train=128, n_test=8,
                 f"psnr {float(aux.psnr):.2f} "
                 f"alive {int(np.asarray(state.params.alive.sum()))} "
                 f"dropped {int(aux.densify_dropped)}")
-        if it % 1000 == 0:
+        if it % eval_every == 0:
             tp, tpmin = eval_test()
             trajectory.append({
                 "iter": it, "test_psnr": round(tp, 2),
