@@ -230,7 +230,12 @@ def main(argv=None):
             state, aux = step(state, cams[vi], images[vi], alphas[vi], bg,
                               jnp.int32(iteration))
 
-        if iteration % 100 == 0 or iteration == first_iter + 1:
+        # Check on the densify cadence as well as the report cadence: if
+        # densification_interval is not a divisor of 100, drop events on
+        # off-cadence iterations would otherwise never be seen and
+        # capacity growth would rely solely on the alive heuristic.
+        if iteration % 100 == 0 or iteration == first_iter + 1 or \
+                iteration % cfg.opt.densification_interval == 0:
             loss = float(aux.loss)
             overflow = int(aux.overflow)
             if overflow > 0:

@@ -143,8 +143,11 @@ def grow_params(params: GaussianParams, new_capacity: int) -> GaussianParams:
         features_dc=pad(params.features_dc),
         features_rest=pad(params.features_rest),
         opacity=pad(params.opacity),
-        # Unit-norm fills keep dead-slot activations well-conditioned
-        # (same fills as _init_arrays padding).
+        # Well-conditioned defaults for dead slots — deliberately NOT the
+        # _init_arrays fills (init pads albedo/roughness/metallic with 0;
+        # here they get raw 1.0, and normal z / rotation w get unit
+        # components). Densification overwrites every field of a slot
+        # before it goes live, so only numeric conditioning matters.
         normal=pad(params.normal).at[cap:, 2].set(1.0),
         albedo=pad(params.albedo, 1.0),
         roughness=pad(params.roughness, 1.0),

@@ -227,9 +227,17 @@ def load_hdr(path: str) -> np.ndarray:
         pass
     try:
         import imageio.v3 as iio
-        return np.asarray(iio.imread(path), np.float32)[..., :3]
-    except Exception:
-        pass
+    except ImportError:
+        iio = None
+    if iio is not None:
+        try:
+            return np.asarray(iio.imread(path), np.float32)[..., :3]
+        except Exception as e:
+            # Only .hdr has a further fallback; for other formats report
+            # the real decode failure instead of "no imageio available".
+            if not path.lower().endswith(".hdr"):
+                raise RuntimeError(
+                    f"imageio failed to decode {path}") from e
     if path.lower().endswith(".hdr"):
         return _read_radiance_hdr(path)
     raise RuntimeError(
@@ -274,9 +282,21 @@ def _read_radiance_hdr(path: str) -> np.ndarray:
                         pos += count
                         x += count
         else:                             # flat scanline
+            if pos + 4 * w > data.size:
+                raise ValueError(
+                    f"{path}: truncated scanline {y} (old-style RLE "
+                    "files are not supported by the built-in decoder)")
             row = data[pos:pos + 4 * w].reshape(w, 4)
             rgbe[y] = row
             pos += 4 * w
+
+    if pos != data.size:
+        # A clean decode consumes the buffer exactly; leftovers mean the
+        # scanline structure was misparsed (e.g. old-style (0,0,0,count)
+        # RLE read as flat data).
+        raise ValueError(
+            f"{path}: {data.size - pos} trailing bytes after decode — "
+            "unsupported scanline encoding (old-style RLE?)")
 
     exp = rgbe[..., 3].astype(np.int32)
     scale = np.where(exp == 0, 0.0,

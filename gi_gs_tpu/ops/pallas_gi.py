@@ -439,8 +439,13 @@ def _build_tables(pos_z, rgb, h, w):
     of a fetch is the two dynamic rolls on the aligned [SUP_R, 256]
     superset, so fewer slabs is a direct win. Quantisation bounds the
     additive indirect term by ~2.4e-4 * max (r/g) / 4.9e-4 * max (b) per
-    texel, tighter than the previous bf16 rounding (~0.4% relative);
-    tests/test_pallas_gi.py bounds the end-to-end error."""
+    texel — ABSOLUTE in the image max: tighter than the previous bf16
+    rounding (~0.4% relative) for bounded dynamic range, but on HDR
+    direct-light inputs a texel at 0.1% of a 1000x-brighter peak loses
+    ~24% of its own value (relative error scales with max/value). The
+    indirect term stays bounded by the same absolute ~2.4e-4*max either
+    way, which is what quality depends on; tests/test_pallas_gi.py
+    bounds the end-to-end error incl. an HDR input case."""
     ht, wt = _table_dims(h, w)
     ztab = jnp.zeros((ht, wt), jnp.float32)
     ztab = jax.lax.dynamic_update_slice(ztab, pos_z, (ROW_M, COL_M))

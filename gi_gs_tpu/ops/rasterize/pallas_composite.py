@@ -45,7 +45,7 @@ ROW = 128      # padded instance-row width. Mosaic tiles HBM arrays with
                # (tried 32: "Slice shape along dimension 1 must be aligned
                # to tiling (128)"), so the row pad stays at 128.
 CH_PAD = 24    # packed output rows: 0:16 accum, 16 final_T,
-               # 17:21 peak depth/pos (peak=True only), 21:23 pad
+               # 17:21 peak depth/pos (peak=True only), 21:24 pad
 FINAL_T_ROW = NUM_CH
 PEAK_ROWS = slice(17, 21)  # argmax-weight depth + view pos (forward.cu:577)
 

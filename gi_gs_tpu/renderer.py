@@ -38,6 +38,13 @@ def render(camera: Camera, pc: GaussianParams, bg_color: jnp.ndarray,
 
     ndc_offset: optional [N, 2] zeros; its gradient equals the reference's
     screenspace_points.grad used for densification stats.
+
+    argmax_depth is an INFERENCE-ONLY feature: with cfg.use_pallas the
+    whole G-buffer (including color) is stop-gradient'ed on this path
+    (one fused fwd+peak kernel launch, pipeline.py rasterize), while the
+    jnp path keeps color differentiable — do not train through
+    argmax_depth=True. The reference never differentiates it either
+    (forward.cu:577-583 has no backward).
     """
     H, W = camera.height, camera.width
 

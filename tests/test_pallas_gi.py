@@ -105,3 +105,28 @@ def test_ssr_pallas_albedo_gradient_identity():
                                  fx, fy, GI)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gd), rtol=1e-6,
                                atol=1e-6)
+
+
+def test_ssr_pallas_hdr_rgb_bounded():
+    """HDR direct-light input: the 11-11-10 packing quantises ABSOLUTE in
+    the image max (see _build_tables docstring), so with one pixel 1000x
+    brighter than the rest the indirect term must still match the oracle
+    within ~quantum * max accumulated over the march (dark texels lose
+    relative precision, but the additive indirect error stays bounded)."""
+    n, pos, fx, fy = _scene(16, 144, seed=7)
+    rng = np.random.RandomState(8)
+    rgb_np = rng.rand(3, 16, 144).astype(np.float32) * 0.05
+    rgb_np[:, 9, 70] = 50.0          # single bright peak (1000x the field)
+    rgb = jnp.asarray(rgb_np)
+    albedo = jnp.asarray(rng.rand(3, 16, 144).astype(np.float32))
+    rough = jnp.asarray(rng.rand(1, 16, 144).astype(np.float32))
+    metal = jnp.asarray(rng.rand(1, 16, 144).astype(np.float32))
+    f0 = jnp.asarray(rng.rand(3, 16, 144).astype(np.float32) * 0.2)
+    ref_c, _ = screen_space.ssr(n, pos, rgb, albedo, rough, metal, f0,
+                                fx, fy, GI)
+    out_c, _ = pallas_gi.ssr_pallas(n, pos, rgb, albedo, rough, metal,
+                                    f0, fx, fy, GI, mode="exact")
+    # Bound: per-texel quantum 4.9e-4 * max(=50) ~ 0.025, averaged over
+    # the march's accumulated samples; allow a small multiple.
+    err = np.abs(np.asarray(out_c) - np.asarray(ref_c)).max()
+    assert err <= 0.1, err

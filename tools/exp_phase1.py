@@ -19,11 +19,21 @@ sys.path.insert(0, ".")
 
 from tools.quality_gate import run_phase1_gate
 
+_SMALL = dict(size=64, iters=7000, n_train=64, n_test=8, capacity=8192,
+              max_capacity=1 << 15, n_init=4000, densify_until=3000,
+              eval_every=500)
+
 CFGS = {
     "ceiling": dict(iters=4000, init_at="gt", eval_every=500),
     "refine": dict(iters=14000, densify_until=7000, eval_every=1000),
     "refine_cap18": dict(iters=14000, densify_until=7000,
                          max_capacity=1 << 18, eval_every=1000),
+    # Small fast repros of the post-densify refinement decay (r5):
+    # densify stops at 3000; a healthy trainer should climb 3000->7000.
+    "small": dict(_SMALL),
+    "small_nonorm": dict(_SMALL, normal_weight=0.0, normal_tv_weight=0.0),
+    "small_notv": dict(_SMALL, normal_tv_weight=0.0),
+    "small_nonc": dict(_SMALL, normal_weight=0.0),
 }
 
 if __name__ == "__main__":

@@ -153,7 +153,8 @@ def _psnr(a, b):
 def run_phase1_gate(size=128, iters=7000, n_train=128, n_test=8,
                     capacity=16384, max_capacity=1 << 17, n_gauss=800,
                     n_init=10_000, seed=0, densify_until=None,
-                    init_at="random", eval_every=1000):
+                    init_at="random", eval_every=1000,
+                    normal_weight=1.0, normal_tv_weight=None):
     """Render GT from a known scene, re-fit with the full phase-1
     schedule (densification ON), report held-out PSNR.
 
@@ -197,6 +198,9 @@ def run_phase1_gate(size=128, iters=7000, n_train=128, n_test=8,
         # gate's truncated horizon.
         cfg.opt = dataclasses.replace(cfg.opt,
                                       densify_until_iter=densify_until)
+    if normal_tv_weight is not None:
+        cfg.train = dataclasses.replace(cfg.train,
+                                        normal_tv_weight=normal_tv_weight)
     # NOTE on tried-and-rejected rescalings (r4 measurements): scaling
     # densify_grad_threshold by 800/size (0.00125 at 128px) cut dropped
     # instances 922k -> 18k but the final held-out PSNR FELL (20.4 vs
@@ -236,7 +240,8 @@ def run_phase1_gate(size=128, iters=7000, n_train=128, n_test=8,
     cfg.raster = dataclasses.replace(cfg.raster, cap_instances=cap_i)
     state = trainer.make_train_state(cfg, params, spatial_lr_scale=1.0)
     tx = build_optimizer(cfg.opt, 1.0)
-    step = trainer.make_phase1_step(cfg, cameras_extent=1.5, tx=tx)
+    step = trainer.make_phase1_step(cfg, cameras_extent=1.5, tx=tx,
+                                    normal_weight=normal_weight)
 
     def eval_test(note=""):
         # Fresh jit each call: cfg.raster capacities may have grown.
@@ -281,7 +286,8 @@ def run_phase1_gate(size=128, iters=7000, n_train=128, n_test=8,
                     f"{cfg.raster.cap_instances} cap_tile="
                     f"{cfg.raster.cap_tile}")
                 step = trainer.make_phase1_step(cfg, cameras_extent=1.5,
-                                                tx=tx)
+                                                tx=tx,
+                                                normal_weight=normal_weight)
             # Gaussian-capacity growth on densify saturation (the signal
             # VERDICT r3 flagged as unread): dropped>0 or alive at the
             # bucket ceiling -> double capacity, step retraces.
