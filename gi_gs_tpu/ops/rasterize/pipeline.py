@@ -145,6 +145,30 @@ def bucket_cap_instances(needed: int, headroom: float = 1.15,
     return -(-want // quantum) * quantum
 
 
+def _composite_local_tiles(table, b: Binning, cfg: RasterConfig, grid,
+                           image_hw, comp, axis: str, n_shards: int):
+    """Tile-sharded compositing FROM INSIDE a shard_map: this chip
+    composites its contiguous tile range (`tile_base` offset), then an
+    all_gather over `axis` reassembles the full tile axis; the AD
+    transpose of the all_gather is a psum-scatter, so each chip's
+    backward receives exactly its own tiles' cotangents and parameter
+    gradients come out as per-chip partials (callers psum them)."""
+    T = grid[0] * grid[1]
+    pad = (-T) % n_shards
+    ts = jnp.pad(b.tile_start, (0, pad))
+    tc = jnp.pad(b.tile_count, (0, pad))
+    t_local = (T + pad) // n_shards
+    base = (jax.lax.axis_index(axis) * t_local).astype(jnp.int32)
+    ts_l = jax.lax.dynamic_slice_in_dim(ts, base, t_local)
+    tc_l = jax.lax.dynamic_slice_in_dim(tc, base, t_local)
+    accum, final_t = comp(table, b.ids, ts_l, tc_l, b.inst_tile, b.inv_perm,
+                          b.offsets, b.seg_gaussian, cfg, grid, image_hw,
+                          base)
+    accum = jax.lax.all_gather(accum, axis, axis=0, tiled=True)[:T]
+    final_t = jax.lax.all_gather(final_t, axis, axis=0, tiled=True)[:T]
+    return accum, final_t
+
+
 def rasterize(means3d: jnp.ndarray,
               cov3d: jnp.ndarray,
               opacity: jnp.ndarray,       # [N, 1] activated
@@ -159,7 +183,15 @@ def rasterize(means3d: jnp.ndarray,
               cfg: RasterConfig,
               ndc_offset: Optional[jnp.ndarray] = None,
               inference: bool = False,
-              argmax_depth: bool = False) -> RasterOutput:
+              argmax_depth: bool = False,
+              tile_axis: Optional[str] = None,
+              tile_shards: int = 1) -> RasterOutput:
+    """tile_axis/tile_shards: when set (callable only inside a shard_map
+    over that mesh axis), the compositing — the dominant cost — is
+    sharded by contiguous tile ranges over the axis while preprocess and
+    binning run replicated (BASELINE config 5 shape); parameter-gradient
+    partials must be psum'd by the caller (see
+    parallel/tile_sharded.make_ts_phase1_step)."""
     grid = cfg.grid(height, width)
 
     pre = preprocess(means3d, cov3d, w2c, full_proj, tanfovx, tanfovy,
@@ -199,9 +231,16 @@ def rasterize(means3d: jnp.ndarray,
             comp = composite_pallas
         else:
             comp = composite
-        accum, final_t = comp(
-            table, b.ids, b.tile_start, b.tile_count, b.inst_tile, b.inv_perm,
-            b.offsets, b.seg_gaussian, cfg, grid, (height, width))
+        if tile_axis is not None:
+            assert not argmax_depth, "argmax_depth is single-chip only"
+            accum, final_t = _composite_local_tiles(
+                table, b, cfg, grid, (height, width), comp, tile_axis,
+                tile_shards)
+        else:
+            accum, final_t = comp(
+                table, b.ids, b.tile_start, b.tile_count, b.inst_tile,
+                b.inv_perm, b.offsets, b.seg_gaussian, cfg, grid,
+                (height, width))
 
     img = _tiles_to_image(accum, grid, cfg, height, width)   # [CH, H, W]
     t_img = _tiles_to_image(final_t[:, None, :], grid, cfg, height, width)

@@ -33,7 +33,9 @@ def render(camera: Camera, pc: GaussianParams, bg_color: jnp.ndarray,
            derive_normal: bool = True,
            compute_occlusion: bool = True,
            argmax_depth: bool = False,
-           ndc_offset: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
+           ndc_offset: Optional[jnp.ndarray] = None,
+           tile_axis: Optional[str] = None,
+           tile_shards: int = 1) -> Dict[str, jnp.ndarray]:
     """Full G-buffer render of one view (ref gaussian_renderer render()).
 
     ndc_offset: optional [N, 2] zeros; its gradient equals the reference's
@@ -63,7 +65,8 @@ def render(camera: Camera, pc: GaussianParams, bg_color: jnp.ndarray,
         pc.xyz, cov3d, opacity, color, normal, albedo, roughness, metallic,
         camera.w2c, camera.full_proj, camera.tanfovx, camera.tanfovy,
         H, W, bg_color, cfg, ndc_offset=ndc_offset, inference=inference,
-        argmax_depth=argmax_depth)
+        argmax_depth=argmax_depth, tile_axis=tile_axis,
+        tile_shards=tile_shards)
 
     # --- derived maps (GaussianRasterizer.forward, __init__.py:475-537) ---
     # The reference runs _C.depth_to_normal outside autograd (no grad_fn on

@@ -186,6 +186,36 @@ def _apply_schedule_updates(cfg, state, params, grads, ndc_grad, aux_render,
                           key=key), dropped
 
 
+def phase1_view_loss(cfg: Config, params, ndc_zeros, camera: Camera,
+                     image, alpha, bg, normal_weight: float = 1.0,
+                     tile_axis=None, tile_shards: int = 1):
+    """Per-view phase-1 loss (train.py:309-327): photometric L1+DSSIM,
+    world-frame normal consistency (upstream GS-IR semantics; see the
+    frame-mismatch note in renderer.py) and normal TV. Shared by the
+    single-chip step and the tile-sharded step (which shards the
+    compositing inside via tile_axis)."""
+    res = render(camera, params, bg, cfg.raster, cfg.gi,
+                 derive_normal=True, compute_occlusion=False,
+                 ndc_offset=ndc_zeros, tile_axis=tile_axis,
+                 tile_shards=tile_shards)
+    gt = _gt_image(image, alpha, bg)
+    l1 = image_utils.l1_loss(res["render"], gt)
+    loss = (1.0 - cfg.opt.lambda_dssim) * l1 + cfg.opt.lambda_dssim * (
+        1.0 - image_utils.ssim(res["render"], gt))
+    normal_loss = _masked_l1(res["normal_map_world"],
+                             res["normal_map_from_depth"],
+                             res["normal_from_depth_mask"])
+    loss = loss + normal_weight * normal_loss
+    loss = loss + cfg.train.normal_tv_weight * losses.tv_loss(
+        gt, res["normal_map"], pad=1, step=1)
+    aux = {"l1": l1, "normal_loss": normal_loss,
+           "render": res["render"], "gt": gt,
+           "visibility": res["visibility_filter"],
+           "radii": res["radii"], "overflow": res["overflow"],
+           "max_tile_count": res["max_tile_count"]}
+    return loss, aux
+
+
 def make_phase1_step(cfg: Config, cameras_extent: float, tx,
                      normal_weight: float = 1.0):
     """Returns jitted step(state, camera, image, alpha, bg, iteration).
@@ -195,27 +225,8 @@ def make_phase1_step(cfg: Config, cameras_extent: float, tx,
     def step(state: TrainState, camera: Camera, image, alpha, bg, iteration):
         def loss_fn(view, ndc_zeros):
             params = state.params.replace(**view)
-            res = render(camera, params, bg, cfg.raster, cfg.gi,
-                         derive_normal=True, compute_occlusion=False,
-                         ndc_offset=ndc_zeros)
-            gt = _gt_image(image, alpha, bg)
-            l1 = image_utils.l1_loss(res["render"], gt)
-            loss = (1.0 - cfg.opt.lambda_dssim) * l1 + cfg.opt.lambda_dssim * (
-                1.0 - image_utils.ssim(res["render"], gt))
-            # World-frame consistency (upstream GS-IR semantics; see the
-            # frame-mismatch note in renderer.py).
-            normal_loss = _masked_l1(res["normal_map_world"],
-                                     res["normal_map_from_depth"],
-                                     res["normal_from_depth_mask"])
-            loss = loss + normal_weight * normal_loss
-            loss = loss + cfg.train.normal_tv_weight * losses.tv_loss(
-                gt, res["normal_map"], pad=1, step=1)
-            aux = {"l1": l1, "normal_loss": normal_loss,
-                   "render": res["render"], "gt": gt,
-                   "visibility": res["visibility_filter"],
-                   "radii": res["radii"], "overflow": res["overflow"],
-                   "max_tile_count": res["max_tile_count"]}
-            return loss, aux
+            return phase1_view_loss(cfg, params, ndc_zeros, camera, image,
+                                    alpha, bg, normal_weight)
 
         ndc_zeros = jnp.zeros((state.params.capacity, 2), jnp.float32)
         (loss, aux), (grads, ndc_grad) = jax.value_and_grad(

@@ -61,3 +61,74 @@ def test_sharded_composite_matches_and_grads(use_pallas):
     # psum reassociation: tiny float noise allowed
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-3, atol=5e-5)
+
+
+def test_ts_phase1_train_step_matches_single_chip():
+    """End-to-end tile-sharded TRAIN step (make_ts_phase1_step) over the
+    8-device CPU mesh vs the single-chip trainer step: identical loss and
+    parameters after steps that include a densify+surgery iteration
+    (psum'd gradient partials must reproduce the full gradient)."""
+    from gi_gs_tpu.config import (Config, ModelConfig, OptimizationConfig,
+                                  TrainConfig)
+    from gi_gs_tpu.models.gaussians import create_from_points
+    from gi_gs_tpu.parallel.tile_sharded import make_ts_phase1_step
+    from gi_gs_tpu.scene.cameras import make_camera
+    from gi_gs_tpu.train import trainer
+    from gi_gs_tpu.train.optim import build_optimizer
+
+    rng = np.random.RandomState(0)
+    n, capacity = 80, 256
+    pts = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    pts[:, 2] += 2.5
+    params = create_from_points(
+        pts, rng.uniform(0.2, 0.9, (n, 3)).astype(np.float32),
+        capacity=capacity)
+    cam = make_camera(R=np.eye(3), T=np.zeros(3), fovx=1.0, fovy=0.7,
+                      width=64, height=32)
+    cfg = Config()
+    cfg.model = ModelConfig(capacity=capacity)
+    # iteration 2 fires densify (decisive threshold so chips agree).
+    cfg.opt = OptimizationConfig(densify_from_iter=0,
+                                 densification_interval=2,
+                                 densify_until_iter=10,
+                                 densify_grad_threshold=1e-8)
+    cfg.train = TrainConfig(light_base_res=16)
+    cfg.raster = dataclasses.replace(BASE_CFG, cap_instances=1 << 12,
+                                     tile_w=16)
+
+    image = jnp.asarray(rng.rand(3, 32, 64).astype(np.float32))
+    alpha = jnp.ones((1, 32, 64), jnp.float32)
+    bg = jnp.zeros(3)
+    tx = build_optimizer(cfg.opt, 1.0)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+
+    def run(step_fn):
+        # Deep copy: both steps donate their state buffers.
+        state = trainer.make_train_state(
+            cfg, jax.tree.map(jnp.copy, params), spatial_lr_scale=1.0)
+        outs = []
+        for it in (1, 2, 3):
+            state, aux = step_fn(state, cam, image, alpha, bg,
+                                 jnp.int32(it))
+            outs.append(float(aux.loss))
+        return state, outs
+
+    s1, l1 = run(trainer.make_phase1_step(cfg, 1.0, tx))
+    s2, l2 = run(make_ts_phase1_step(cfg, 1.0, tx, mesh))
+
+    np.testing.assert_allclose(l1, l2, rtol=2e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(s1.params.alive),
+                                  np.asarray(s2.params.alive))
+    assert int(np.asarray(s1.params.alive).sum()) > n  # densify fired
+    # Adam normalises by sqrt(second moment): for an element whose true
+    # gradient is numerically ~0, the psum association noise fully
+    # determines m/sqrt(v), so that element's update is arbitrary within
+    # +-~3.16*lr. Require near-exact agreement except for (rare) such
+    # elements, whose divergence must stay within one noise-step.
+    lrs = {"xyz": 0.00016 * 1.5, "opacity": 0.05, "scaling": 0.005}
+    for f, lr in lrs.items():
+        a = np.asarray(getattr(s1.params, f))
+        b = np.asarray(getattr(s2.params, f))
+        d = np.abs(a - b)
+        assert (d > 1e-4).mean() < 0.01, (f, (d > 1e-4).mean())
+        assert d.max() <= 3 * 3.2 * lr, (f, d.max())
