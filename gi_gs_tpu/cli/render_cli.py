@@ -21,7 +21,7 @@ from PIL import Image
 from .. import config as config_mod
 from ..models import light as light_mod
 from ..ops import screen_space
-from ..ops.shading import get_brdf_lut, pbr_shading
+from ..ops.shading import get_brdf_lut, pbr_shading_chw
 from ..renderer import render
 from ..scene.dataset import load_scene
 from ..train.trainer import compute_view_dirs
@@ -81,20 +81,20 @@ def render_pbr_view(cfg, state, cam, bg, light=None, albedo_ratio=None,
         albedo_map = albedo_map * albedo_ratio[:, None, None]
     metallic_map = res["metallic_map"]
     normal_mask = res["normal_mask"]
-    occlusion = res["occlusion_map"].transpose(1, 2, 0)
-    view_dirs = compute_view_dirs(cam)
+    occlusion = res["occlusion_map"]
+    view_dirs = compute_view_dirs(cam)     # [3, H, W]
 
-    pbr = pbr_shading(
-        light=light, normals=res["normal_map_world"].transpose(1, 2, 0),
-        view_dirs=view_dirs, albedo=albedo_map.transpose(1, 2, 0),
-        roughness=roughness_map.transpose(1, 2, 0),
-        mask=normal_mask.transpose(1, 2, 0), brdf_lut=brdf_lut,
+    pbr = pbr_shading_chw(
+        light=light, normals=res["normal_map_world"],
+        view_dirs=view_dirs, albedo=albedo_map,
+        roughness=roughness_map,
+        mask=normal_mask,
         tone=t.tone, gamma=t.gamma, occlusion=occlusion,
-        metallic=metallic_map.transpose(1, 2, 0) if t.metallic else None)
+        metallic=metallic_map if t.metallic else None)
 
-    render_rgb = pbr["render_rgb"].transpose(2, 0, 1)
-    diffuse_rgb = jnp.clip(pbr["diffuse_rgb"], 0, 1).transpose(2, 0, 1)
-    specular_rgb = jnp.clip(pbr["specular_rgb"], 0, 1).transpose(2, 0, 1)
+    render_rgb = pbr["render_rgb"]
+    diffuse_rgb = jnp.clip(pbr["diffuse_rgb"], 0, 1)
+    specular_rgb = jnp.clip(pbr["specular_rgb"], 0, 1)
     b = bg[:, None, None]
     render_rgb = jnp.where(normal_mask, render_rgb, b)
     diffuse_rgb = jnp.where(normal_mask, diffuse_rgb, b)

@@ -92,9 +92,36 @@ def _take_rows3_bwd(res, g):
 take_rows3.defvjp(_take_rows3_fwd, _take_rows3_bwd)
 
 
-def dir_to_face_uv(dirs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """dirs [..., 3] -> (face [...], fx [...], fy [...]) in [-1, 1]."""
-    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+@jax.custom_vjp
+def take_rows(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """flat [T, C] gathered at idx [...] -> [..., C]; generalisation of
+    take_rows3 to arbitrary width with the same per-column scatter
+    backward (TPU row-update scatters run ~10x slower than scalar-update
+    scatters — see take_rows3)."""
+    return flat[idx]
+
+
+def _take_rows_fwd(flat, idx):
+    return flat[idx], (idx, flat.shape)
+
+
+def _take_rows_bwd(res, g):
+    idx, (T, C) = res
+    idx_f = idx.reshape(-1)
+    g_f = g.reshape(-1, C)
+    cols = [jnp.zeros((T,), g.dtype).at[idx_f].add(g_f[:, c])
+            for c in range(C)]
+    return jnp.stack(cols, axis=-1), None
+
+
+take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
+def dir_to_face_uv_flat(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Component-wise dir -> (face, fx, fy in [-1, 1]). The flat form is
+    the layout-friendly one on TPU: [P]-shaped rows avoid the [..., 3]
+    minor-dim-3 stacks whose slices trigger layout-conversion copies."""
     ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
     is_x = (ax >= ay) & (ax >= az)
     is_y = (~is_x) & (ay >= az)
@@ -111,6 +138,11 @@ def dir_to_face_uv(dirs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.nda
     fy = jnp.where(
         is_x, -y, jnp.where(is_y, jnp.where(y >= 0, z, -z), -y)) / major
     return face, fx, fy
+
+
+def dir_to_face_uv(dirs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """dirs [..., 3] -> (face [...], fx [...], fy [...]) in [-1, 1]."""
+    return dir_to_face_uv_flat(dirs[..., 0], dirs[..., 1], dirs[..., 2])
 
 
 @functools.lru_cache(maxsize=8)
@@ -151,6 +183,52 @@ def pad_cubemap(cubemap: jnp.ndarray) -> jnp.ndarray:
     right = gather(flat, emap[:, 1:R + 1, R + 1:])
     mid = jnp.concatenate([left, cubemap, right], axis=2)
     return jnp.concatenate([top, mid, bot], axis=1)
+
+
+def quad_pack(padded: jnp.ndarray) -> jnp.ndarray:
+    """[6, E, E, C] halo-padded faces -> [6*(E-1)*(E-1), 4C] quad table:
+    row (f, v0, u0) holds the 2x2 bilinear footprint
+    (t00 | t01 | t10 | t11), each C channels. Built by slice-stacking
+    (differentiable, streaming — no gathers), so a bilinear lookup
+    becomes ONE row gather instead of four: TPU gather cost is per-index
+    (~independent of row width up to ~a cache line), so this quarters
+    the dominant cost of every texture lookup."""
+    q = jnp.concatenate([
+        padded[:, :-1, :-1], padded[:, :-1, 1:],
+        padded[:, 1:, :-1], padded[:, 1:, 1:]], axis=-1)
+    return q.reshape(-1, q.shape[-1])
+
+
+def sample_cubemap_flat(cubemap: jnp.ndarray, dx, dy, dz,
+                        quad: jnp.ndarray | None = None):
+    """Seamless bilinear cubemap lookup in flat per-channel form:
+    cubemap [6, R, R, 3], direction components [P] -> (r, g, b) [P].
+    Same taps/weights as sample_cubemap(seamless=True); `quad` optionally
+    supplies a precomputed quad_pack(pad_cubemap(cubemap)) table."""
+    R = cubemap.shape[1]
+    if quad is None:
+        quad = quad_pack(pad_cubemap(cubemap))
+    face, fx, fy = dir_to_face_uv_flat(dx, dy, dz)
+    u = (fx + 1.0) * 0.5 * R - 0.5
+    v = (fy + 1.0) * 0.5 * R - 0.5
+    u0 = jnp.clip(jnp.floor(u), -1, R - 1)
+    v0 = jnp.clip(jnp.floor(v), -1, R - 1)
+    du = jnp.clip(u - u0, 0.0, 1.0)
+    dv = jnp.clip(v - v0, 0.0, 1.0)
+    E1 = R + 1
+    idx = face * E1 * E1 + (v0.astype(jnp.int32) + 1) * E1 + \
+        (u0.astype(jnp.int32) + 1)
+    Q = take_rows(quad, idx)                       # [P, 12]
+    w00 = (1 - du) * (1 - dv)
+    w01 = du * (1 - dv)
+    w10 = (1 - du) * dv
+    w11 = du * dv
+
+    def ch(c):
+        return (Q[:, c] * w00 + Q[:, 3 + c] * w01 +
+                Q[:, 6 + c] * w10 + Q[:, 9 + c] * w11)
+
+    return ch(0), ch(1), ch(2)
 
 
 def sample_cubemap(cubemap: jnp.ndarray, dirs: jnp.ndarray,

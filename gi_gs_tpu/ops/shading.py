@@ -41,7 +41,7 @@ def _hammersley(n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=2)
-def get_brdf_lut(res: int = 256, samples: int = 4096) -> jax.Array:
+def _brdf_lut_np(res: int = 256, samples: int = 4096) -> np.ndarray:
     """[res, res, 2] split-sum env-BRDF: rows = roughness, cols = NoV
     (matching the layout of the reference's brdf_256_256.bin as consumed
     at pbr/shade.py:159-166).
@@ -82,7 +82,15 @@ def get_brdf_lut(res: int = 256, samples: int = 4096) -> jax.Array:
         fc = (1.0 - voh) ** 5
         out[yi, :, 0] = ((1.0 - fc) * g_vis).sum(1) / samples
         out[yi, :, 1] = (fc * g_vis).sum(1) / samples
-    return jnp.asarray(out)
+    return out
+
+
+def get_brdf_lut(res: int = 256, samples: int = 4096) -> jax.Array:
+    """Device LUT view of the numpy cache. The numpy layer is what is
+    lru_cached: caching a jax array poisons later programs when the
+    first call happens inside a trace/shard_map (mesh-pinned avals,
+    tracer leakage)."""
+    return jnp.asarray(_brdf_lut_np(res, samples))
 
 
 def sample_brdf_lut(lut: jnp.ndarray, nov: jnp.ndarray,
@@ -183,6 +191,194 @@ def _trilinear_specular(specular, dirs, mip):
                 fetch(v0 + 1, u0 + 1) * du * dv)
 
     return sample_level(lo_i) * (1.0 - frac) + sample_level(hi_i) * frac
+
+
+# ---------------------------------------------------------------------------
+# Channels-first fast path
+# ---------------------------------------------------------------------------
+#
+# The channel-last oracle above mirrors the reference's array convention
+# (pbr/shade.py works on [H, W, C]); on TPU that convention is hostile:
+# XLA assigns conflicting layouts around every gather and inserts ~23
+# full-image [H, W, 3] transposes/copies per call (~40 ms at 800x800 on
+# v5e — measured r5). The fast path below computes the SAME arithmetic on
+# flat per-channel [P] rows with quad-packed tables (one row gather per
+# bilinear lookup), taking channels-FIRST [C, H, W] images — the
+# renderer's native layout, so the trainer needs no transposes at all.
+
+def _frame_rows(T, x, y, z):
+    """Apply the 3x3 frame permutation to per-channel rows."""
+    return (T[0, 0] * x + T[0, 1] * y + T[0, 2] * z,
+            T[1, 0] * x + T[1, 1] * y + T[1, 2] * z,
+            T[2, 0] * x + T[2, 1] * y + T[2, 2] * z)
+
+
+@functools.lru_cache(maxsize=2)
+def _brdf_lut_quad(res: int = 256, samples: int = 4096) -> np.ndarray:
+    """[res*res, 8] quad table of the env-BRDF LUT with edge-clamp
+    padding: row (v0, u0) holds the 2x2 footprint of both channels
+    (t00.xy | t01.xy | t10.xy | t11.xy), u0/v0 in [0, res-1].
+
+    NUMPY cache (device conversion at use sites): caching a jax array
+    that gets closed over inside shard_map'd programs pins the creation
+    context's mesh on its aval and later programs with a different mesh
+    reject it."""
+    lut = _brdf_lut_np(res, samples)                       # [R, R, 2]
+    p = np.pad(lut, ((0, 1), (0, 1), (0, 0)), mode="edge")
+    q = np.concatenate([p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]],
+                       axis=-1)
+    return q.reshape(-1, 8)
+
+
+def _sample_brdf_lut_flat(nov, roughness, res: int = 256):
+    """Flat bilinear LUT lookup: nov/roughness [P] -> (fg0, fg1) [P]."""
+    quad = jnp.asarray(_brdf_lut_quad(res))
+    u = jnp.clip(nov * res - 0.5, 0.0, res - 1)
+    v = jnp.clip(roughness * res - 0.5, 0.0, res - 1)
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    du = u - u0
+    dv = v - v0
+    idx = (v0.astype(jnp.int32) * res + u0.astype(jnp.int32))
+    Q = cm.take_rows(quad, idx)                            # [P, 8]
+    w00 = (1 - du) * (1 - dv)
+    w01 = du * (1 - dv)
+    w10 = (1 - du) * dv
+    w11 = du * dv
+
+    def ch(c):
+        return (Q[:, c] * w00 + Q[:, 2 + c] * w01 +
+                Q[:, 4 + c] * w10 + Q[:, 6 + c] * w11)
+
+    return ch(0), ch(1)
+
+
+def _trilinear_specular_flat(specular, dx, dy, dz, mip):
+    """Flat per-channel trilinear specular lookup (see
+    _trilinear_specular): direction rows + fractional mip [P] ->
+    (r, g, b) [P]. One quad-row gather per adjacent level."""
+    L = len(specular)
+    quads = [cm.quad_pack(cm.pad_cubemap(s)) for s in specular]
+    ress = np.array([s.shape[1] for s in specular], np.int64)
+    sizes = 6 * (ress + 1) * (ress + 1)
+    offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int32)
+    flatq = jnp.concatenate(quads, axis=0)                 # [Tq, 12]
+    ress_j = jnp.asarray(ress.astype(np.int32))
+    offs_j = jnp.asarray(offs[:-1])
+
+    mip = jnp.clip(mip, 0.0, L - 1)
+    lo = jnp.floor(mip)
+    frac = mip - lo
+    lo_i = lo.astype(jnp.int32)
+    hi_i = jnp.minimum(lo_i + 1, L - 1)
+    face, fx, fy = cm.dir_to_face_uv_flat(dx, dy, dz)
+
+    def sample_level(lvl):
+        R = ress_j[lvl]
+        Rf = R.astype(jnp.float32)
+        E1 = R + 1
+        u = (fx + 1.0) * 0.5 * Rf - 0.5
+        v = (fy + 1.0) * 0.5 * Rf - 0.5
+        u0 = jnp.clip(jnp.floor(u), -1, Rf - 1)
+        v0 = jnp.clip(jnp.floor(v), -1, Rf - 1)
+        du = jnp.clip(u - u0, 0.0, 1.0)
+        dv = jnp.clip(v - v0, 0.0, 1.0)
+        idx = offs_j[lvl] + face * E1 * E1 + \
+            (v0.astype(jnp.int32) + 1) * E1 + (u0.astype(jnp.int32) + 1)
+        Q = cm.take_rows(flatq, idx)
+        w00 = (1 - du) * (1 - dv)
+        w01 = du * (1 - dv)
+        w10 = (1 - du) * dv
+        w11 = du * dv
+        return tuple(Q[:, c] * w00 + Q[:, 3 + c] * w01 +
+                     Q[:, 6 + c] * w10 + Q[:, 9 + c] * w11
+                     for c in range(3))
+
+    slo = sample_level(lo_i)
+    shi = sample_level(hi_i)
+    return tuple(a * (1.0 - frac) + b * frac for a, b in zip(slo, shi))
+
+
+def pbr_shading_chw(light: light_mod.CubemapLight,
+                    normals: jnp.ndarray,      # [3, H, W] world
+                    view_dirs: jnp.ndarray,    # [3, H, W]
+                    albedo: jnp.ndarray,       # [3, H, W]
+                    roughness: jnp.ndarray,    # [1, H, W]
+                    mask: jnp.ndarray,         # [1, H, W] bool
+                    brdf_lut=None,
+                    tone: bool = False,
+                    gamma: bool = False,
+                    occlusion: Optional[jnp.ndarray] = None,  # [1, H, W]
+                    metallic: Optional[jnp.ndarray] = None,
+                    background: Optional[jnp.ndarray] = None
+                    ) -> Dict[str, jnp.ndarray]:
+    """Channels-first pbr_shading (same math as the channel-last oracle,
+    parity-tested by tests/test_shading.py). brdf_lut is ignored — the
+    quad-packed LUT is derived from the same get_brdf_lut cache."""
+    C, H, W = normals.shape
+    P = H * W
+    T = jnp.asarray(_TRANSFORM)
+    flat = lambda img: img.reshape(img.shape[0], P)
+    nx, ny, nz = flat(normals)
+    vx, vy, vz = flat(view_dirs)
+    ar, ag, ab = flat(albedo)
+    rough = flat(roughness)[0]
+    occ = None if occlusion is None else flat(occlusion)[0]
+
+    ndv = nx * vx + ny * vy + nz * vz
+    ndv_pos = 2.0 * jnp.clip(ndv, 0.0, None)
+    rx, ry, rz = (ndv_pos * nx - vx, ndv_pos * ny - vy, ndv_pos * nz - vz)
+
+    # Cubemap-frame transforms (pbr/shade.py:134-138).
+    ncx, ncy, ncz = _frame_rows(T, nx, ny, nz)
+    vcx, vcy, vcz = _frame_rows(T, vx, vy, vz)
+    rcx, rcy, rcz = _frame_rows(T, rx, ry, rz)
+
+    dr, dg, db = cm.sample_cubemap_flat(light.diffuse, ncx, ncy, ncz)
+    if occ is not None:
+        dr, dg, db = dr * occ, dg * occ, db * occ
+    diff_r, diff_g, diff_b = dr * ar, dg * ag, db * ab
+
+    nov = jnp.clip(ncx * vcx + ncy * vcy + ncz * vcz, 1e-4, 1.0)
+    fg0, fg1 = _sample_brdf_lut_flat(nov, rough)
+
+    miplevel = light_mod.get_mip(rough, len(light.specular))
+    sr, sg, sb = _trilinear_specular_flat(light.specular, rcx, rcy, rcz,
+                                          miplevel)
+
+    if metallic is None:
+        f0r = f0g = f0b = jnp.full((P,), 0.04, jnp.float32)
+    else:
+        m = flat(metallic)[0]
+        f0r = (1.0 - m) * 0.04 + ar * m
+        f0g = (1.0 - m) * 0.04 + ag * m
+        f0b = (1.0 - m) * 0.04 + ab * m
+    spec_r = sr * (f0r * fg0 + fg1)
+    spec_g = sg * (f0g * fg0 + fg1)
+    spec_b = sb * (f0b * fg0 + fg1)
+
+    def assemble(r, g, b):
+        return jnp.stack([r, g, b], axis=0).reshape(3, H, W)
+
+    diffuse_rgb = assemble(diff_r, diff_g, diff_b)
+    specular_rgb = assemble(spec_r, spec_g, spec_b)
+    diffuse_light = assemble(dr, dg, db)
+    render_rgb = diffuse_rgb + specular_rgb
+    if tone:
+        render_rgb = aces_film(render_rgb)
+    else:
+        render_rgb = jnp.clip(render_rgb, 0.0, 1.0)
+    if gamma:
+        render_rgb = linear_to_srgb(render_rgb)
+        diffuse_rgb = linear_to_srgb(diffuse_rgb)
+        specular_rgb = linear_to_srgb(specular_rgb)
+
+    if background is None:
+        background = jnp.zeros_like(render_rgb)
+    render_rgb = jnp.where(mask, render_rgb, background)
+
+    return {"render_rgb": render_rgb, "diffuse_rgb": diffuse_rgb,
+            "specular_rgb": specular_rgb, "diffuse_light": diffuse_light}
 
 
 def pbr_shading(light: light_mod.CubemapLight,

@@ -23,7 +23,7 @@ from ..models.gaussians import GaussianParams
 from ..models.light import (CubemapLight, build_mips, build_mips_packed,
                             build_prefilter_tables)
 from ..ops import screen_space
-from ..ops.shading import pbr_shading, get_brdf_lut
+from ..ops.shading import pbr_shading_chw, get_brdf_lut
 from ..ops.cubemap import sample_cubemap
 from ..renderer import render
 from ..scene.cameras import Camera
@@ -246,14 +246,14 @@ def make_phase1_step(cfg: Config, cameras_extent: float, tx,
 
 
 def compute_view_dirs(camera: Camera) -> jnp.ndarray:
-    """[H, W, 3] outward view directions from canonical rays
-    (train.py:303-307)."""
+    """[3, H, W] outward view directions from canonical rays
+    (train.py:303-307; channels-first — the renderer's native layout)."""
     from ..scene.cameras import canonical_rays
     rays = canonical_rays(camera)                       # [HW, 3]
     rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
     c2w = jnp.linalg.inv(camera.w2c)
     vd = -(rays @ c2w[:3, :3].T)
-    return vd.reshape(camera.height, camera.width, 3)
+    return vd.T.reshape(3, camera.height, camera.width)
 
 
 def phase2_view_loss(cfg: Config, brdf_lut, light, params, ndc_zeros,
@@ -276,24 +276,25 @@ def phase2_view_loss(cfg: Config, brdf_lut, light, params, ndc_zeros,
     normal_mask = res["normal_mask"]            # [1, H, W]
 
     if t.indirect:
-        occlusion = res["occlusion_map"].transpose(1, 2, 0)
+        occlusion = res["occlusion_map"]
     else:
-        occlusion = jnp.ones_like(roughness_map).transpose(1, 2, 0)
+        occlusion = jnp.ones_like(roughness_map)
 
-    pbr = pbr_shading(
+    # Channels-first fast path: no layout transposes anywhere (the
+    # channel-last oracle costs ~23 [H, W, 3] layout copies per call on
+    # TPU; parity pinned by tests/test_shading.py).
+    pbr = pbr_shading_chw(
         light=light,
-        normals=jax.lax.stop_gradient(
-            res["normal_map_world"].transpose(1, 2, 0)),
+        normals=jax.lax.stop_gradient(res["normal_map_world"]),
         view_dirs=view_dirs,
-        albedo=albedo_map.transpose(1, 2, 0),
-        roughness=roughness_map.transpose(1, 2, 0),
-        mask=normal_mask.transpose(1, 2, 0),
-        brdf_lut=brdf_lut,
+        albedo=albedo_map,
+        roughness=roughness_map,
+        mask=normal_mask,
         tone=t.tone, gamma=t.gamma,
         occlusion=jax.lax.stop_gradient(occlusion),
-        metallic=metallic_map.transpose(1, 2, 0) if t.metallic else None)
+        metallic=metallic_map if t.metallic else None)
 
-    render_direct = pbr["render_rgb"].transpose(2, 0, 1)  # [3, H, W]
+    render_direct = pbr["render_rgb"]                     # [3, H, W]
     render_direct = jnp.where(normal_mask, render_direct,
                               bg[:, None, None])
 

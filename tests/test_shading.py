@@ -43,3 +43,63 @@ def test_brdf_lut_basic_properties():
     assert lut[:, -1, 1].max() < 0.02
     # Roughness rows vary smoothly (no MC spikes between adjacent rows).
     assert np.abs(np.diff(lut, axis=0)).max() < 0.05
+
+
+def test_pbr_shading_chw_matches_oracle():
+    """The channels-first fast path (flat rows + quad-packed tables) must
+    reproduce the channel-last oracle exactly (same taps and weights,
+    reassociated arithmetic)."""
+    import jax
+    import jax.numpy as jnp
+    from gi_gs_tpu.models import light as light_mod
+    from gi_gs_tpu.ops.shading import pbr_shading, pbr_shading_chw, get_brdf_lut
+
+    H, W, R = 24, 32, 32
+    rng = np.random.RandomState(0)
+    spec_struct, arrays = light_mod.build_prefilter_tables(R)
+    base = jnp.asarray(rng.rand(6, R, R, 3).astype(np.float32))
+    light = light_mod.build_mips_packed(base, spec_struct, arrays)
+
+    nrm = rng.standard_normal((H, W, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    vd = rng.standard_normal((H, W, 3)).astype(np.float32)
+    vd /= np.linalg.norm(vd, axis=-1, keepdims=True)
+    alb = rng.rand(H, W, 3).astype(np.float32)
+    rough = rng.rand(H, W, 1).astype(np.float32)
+    occ = rng.rand(H, W, 1).astype(np.float32)
+    metal = rng.rand(H, W, 1).astype(np.float32)
+    mask = rng.rand(H, W, 1) > 0.3
+    lut = get_brdf_lut()
+
+    ref = pbr_shading(light, jnp.asarray(nrm), jnp.asarray(vd),
+                      jnp.asarray(alb), jnp.asarray(rough),
+                      jnp.asarray(mask), lut, occlusion=jnp.asarray(occ),
+                      metallic=jnp.asarray(metal))
+    chw = lambda a: jnp.asarray(np.moveaxis(a, -1, 0))
+    fast = pbr_shading_chw(light, chw(nrm), chw(vd), chw(alb), chw(rough),
+                           chw(np.asarray(mask)), occlusion=chw(occ),
+                           metallic=chw(metal))
+    for k in ("render_rgb", "diffuse_rgb", "specular_rgb", "diffuse_light"):
+        np.testing.assert_allclose(
+            np.asarray(fast[k]), np.moveaxis(np.asarray(ref[k]), -1, 0),
+            atol=2e-6, rtol=1e-5, err_msg=k)
+
+    # Gradients to the light texels agree too (the training path).
+    def loss_ref(cube):
+        lt = light_mod.build_mips_packed(cube, spec_struct, arrays)
+        out = pbr_shading(lt, jnp.asarray(nrm), jnp.asarray(vd),
+                          jnp.asarray(alb), jnp.asarray(rough),
+                          jnp.asarray(mask), lut,
+                          occlusion=jnp.asarray(occ))
+        return (out["render_rgb"] ** 2).sum()
+
+    def loss_fast(cube):
+        lt = light_mod.build_mips_packed(cube, spec_struct, arrays)
+        out = pbr_shading_chw(lt, chw(nrm), chw(vd), chw(alb), chw(rough),
+                              chw(np.asarray(mask)), occlusion=chw(occ))
+        return (out["render_rgb"] ** 2).sum()
+
+    g1 = jax.grad(loss_ref)(base)
+    g2 = jax.grad(loss_fast)(base)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               atol=5e-5, rtol=1e-3)

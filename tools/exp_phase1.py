@@ -34,6 +34,12 @@ CFGS = {
     "small_nonorm": dict(_SMALL, normal_weight=0.0, normal_tv_weight=0.0),
     "small_notv": dict(_SMALL, normal_tv_weight=0.0),
     "small_nonc": dict(_SMALL, normal_weight=0.0),
+    # Adam-diffusion hypothesis: constant-LR groups random-walk when the
+    # gradient signal is below the single-view noise floor (decay after
+    # densify stops). If scaled LRs climb instead of decaying, the gate
+    # needs resolution-aware LRs (the reference calibrated at 800px).
+    "small_lr25": dict(_SMALL, lr_scale=0.25),
+    "small_lr10": dict(_SMALL, lr_scale=0.10),
 }
 
 if __name__ == "__main__":

@@ -154,7 +154,8 @@ def run_phase1_gate(size=128, iters=7000, n_train=128, n_test=8,
                     capacity=16384, max_capacity=1 << 17, n_gauss=800,
                     n_init=10_000, seed=0, densify_until=None,
                     init_at="random", eval_every=1000,
-                    normal_weight=1.0, normal_tv_weight=None):
+                    normal_weight=1.0, normal_tv_weight=None,
+                    lr_scale=1.0):
     """Render GT from a known scene, re-fit with the full phase-1
     schedule (densification ON), report held-out PSNR.
 
@@ -201,6 +202,21 @@ def run_phase1_gate(size=128, iters=7000, n_train=128, n_test=8,
     if normal_tv_weight is not None:
         cfg.train = dataclasses.replace(cfg.train,
                                         normal_tv_weight=normal_tv_weight)
+    if lr_scale != 1.0:
+        # Resolution-aware LR adaptation experiment: Adam(eps=1e-15)
+        # updates are ~lr-sized regardless of gradient magnitude, so
+        # parameters whose signal is below the single-view noise floor
+        # random-walk at sigma ~ lr*sqrt(steps); the reference LRs are
+        # calibrated at 800px where per-splat gradient SNR is ~40-150x
+        # the gate's.
+        o = cfg.opt
+        cfg.opt = dataclasses.replace(
+            o, position_lr_init=o.position_lr_init * lr_scale,
+            position_lr_final=o.position_lr_final * lr_scale,
+            feature_lr=o.feature_lr * lr_scale,
+            opacity_lr=o.opacity_lr * lr_scale,
+            scaling_lr=o.scaling_lr * lr_scale,
+            rotation_lr=o.rotation_lr * lr_scale)
     # NOTE on tried-and-rejected rescalings (r4 measurements): scaling
     # densify_grad_threshold by 800/size (0.00125 at 128px) cut dropped
     # instances 922k -> 18k but the final held-out PSNR FELL (20.4 vs
