@@ -57,10 +57,16 @@ class StepAux(NamedTuple):
 
 
 def make_train_state(cfg: Config, params: GaussianParams,
-                     spatial_lr_scale: float, seed: int = 0) -> TrainState:
+                     spatial_lr_scale: float, seed: int = 0,
+                     tx=None) -> TrainState:
+    """`tx` must be the SAME optax transform later passed to the step
+    builders when it differs structurally from the default (e.g. a
+    build_optimizer(..., lr_scale_fn=...) — its per-group states carry a
+    schedule count the default's constant-lr groups lack)."""
     key = jax.random.PRNGKey(seed)
     k1, key = jax.random.split(key)
-    tx = build_optimizer(cfg.opt, spatial_lr_scale)
+    if tx is None:
+        tx = build_optimizer(cfg.opt, spatial_lr_scale)
     ltx = build_light_optimizer(cfg.opt)
     base = jax.random.uniform(
         k1, (6, cfg.train.light_base_res, cfg.train.light_base_res, 3),

@@ -64,6 +64,7 @@ def test_grow_render_invariant(small):
     np.testing.assert_allclose(img_big, img_small, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_grow_state_preserves_moments(small):
     cfg, gt, cams, gt_imgs, bg, _ = small
     state = trainer.make_train_state(cfg, gt, spatial_lr_scale=1.0)
@@ -96,6 +97,7 @@ def test_grow_state_preserves_moments(small):
     np.testing.assert_allclose(r1, r0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_training_through_saturation_growth(small):
     cfg, gt, cams, gt_imgs, bg, _ = small
     # Tight capacity: 150 alive of 160 — densification saturates fast.

@@ -52,6 +52,7 @@ def test_diffuse_matrix_constant_map():
     assert 0.9 < v.mean() < 1.15
 
 
+@pytest.mark.slow
 def test_specular_patch_matches_dense():
     """Patch-conv path vs exact dense operator at res 32."""
     rng = np.random.RandomState(2)

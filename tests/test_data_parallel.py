@@ -66,6 +66,7 @@ def _state(cfg, params):
     return trainer.make_train_state(cfg, params, spatial_lr_scale=1.0)
 
 
+@pytest.mark.slow
 def test_dp_phase1_mesh_invariance_and_batch_semantics():
     cfg, params, cams, images, alphas = _setup()
     tx = build_optimizer(cfg.opt, 1.0)
@@ -137,6 +138,7 @@ def test_dp_phase1_mesh_invariance_and_batch_semantics():
     assert d.max() <= 3.2 * cfg.opt.position_lr_init * 10, d.max()
 
 
+@pytest.mark.slow
 def test_dp_phase2_mesh_invariance():
     cfg, params, cams, images, alphas = _setup()
     cfg.train = TrainConfig(light_base_res=64, indirect=True)

@@ -101,6 +101,7 @@ def oracle_with_ref_grad_semantics(scene, cfg=CFG):
     return fwd
 
 
+@pytest.mark.slow
 def test_gradients_match_reference_semantics():
     scene = random_scene(n=120, seed=5, op_max=0.9)
     cam, w, h = scene["cam"], scene["width"], scene["height"]

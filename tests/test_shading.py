@@ -45,6 +45,7 @@ def test_brdf_lut_basic_properties():
     assert np.abs(np.diff(lut, axis=0)).max() < 0.05
 
 
+@pytest.mark.slow
 def test_pbr_shading_chw_matches_oracle():
     """The channels-first fast path (flat rows + quad-packed tables) must
     reproduce the channel-last oracle exactly (same taps and weights,

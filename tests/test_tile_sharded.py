@@ -19,6 +19,7 @@ BASE_CFG = RasterConfig(tile_h=8, tile_w=32, cap_instances=1 << 13,
                         cap_tile=256, chunk=8, use_pallas=False)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("use_pallas", [False, True])
 def test_sharded_composite_matches_and_grads(use_pallas):
     """Tile-sharded == single-device (jnp oracle), for BOTH compositing
@@ -63,6 +64,7 @@ def test_sharded_composite_matches_and_grads(use_pallas):
                                rtol=1e-3, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_ts_phase1_train_step_matches_single_chip():
     """End-to-end tile-sharded TRAIN step (make_ts_phase1_step) over the
     8-device CPU mesh vs the single-chip trainer step: identical loss and

@@ -82,6 +82,7 @@ def run_steps(step_fn, state, cams, images, iters, start_iter=1):
     return state, losses, l1s, psnrs
 
 
+@pytest.mark.slow
 def test_phase1_training_reduces_loss():
     cfg = tiny_cfg()
     cams, images = gt_setup()
@@ -99,6 +100,7 @@ def test_phase1_training_reduces_loss():
     assert np.isfinite(np.asarray(state.params.xyz)).all()
 
 
+@pytest.mark.slow
 def test_cap_tile_overflow_detected_and_grown():
     """A tile whose pre-cap population exceeds cap_tile must be reported
     through StepAux.max_tile_count (not silently truncated), and the CLI
@@ -143,6 +145,7 @@ def test_cap_tile_overflow_detected_and_grown():
     assert abs(float(aux2.loss) - float(aux.loss)) > 1e-6
 
 
+@pytest.mark.slow
 def test_phase2_training_runs():
     cfg = tiny_cfg(indirect=True, metallic=True)
     cams, images = gt_setup(n_cams=2)

@@ -10,7 +10,7 @@ exercises the full stack the way the reference's metric protocol does
 the Pallas kernels, densification surgery, the optimizer schedules, and
 the PBR/light decomposition — without external data.
 
-Run:  python tools/quality_gate.py            (writes QUALITY_r03.json)
+Run:  python tools/quality_gate.py            (writes QUALITY_r05.json)
 Test: tests/test_quality.py (slow) runs reduced configs via these fns.
 """
 from __future__ import annotations
@@ -51,7 +51,8 @@ def ring_cameras(n, size, dist=3.0, fov=0.9, tilt=0.25):
     return cams
 
 
-def make_gt_scene(n=800, seed=0, capacity=4096):
+def make_gt_scene(n=800, seed=0, capacity=4096, roughness=0.4,
+                  metallic=0.02):
     """Known Gaussian blob: sphere shell with smooth colors,
     spatially-varying albedo, constant roughness.
 
@@ -98,8 +99,9 @@ def make_gt_scene(n=800, seed=0, capacity=4096):
         opacity=jnp.full_like(params.opacity, inverse_sigmoid(0.9)),
         normal=pad(nrm, 0.0).at[n:, 2].set(1.0),
         albedo=pad(inverse_sigmoid(np.clip(albedo, 0.02, 0.98)), 1.0),
-        roughness=jnp.full_like(params.roughness, inverse_sigmoid(0.4)),
-        metallic=jnp.full_like(params.metallic, inverse_sigmoid(0.02)),
+        roughness=jnp.full_like(params.roughness,
+                                inverse_sigmoid(roughness)),
+        metallic=jnp.full_like(params.metallic, inverse_sigmoid(metallic)),
     )
     return params
 
@@ -128,7 +130,7 @@ def _split_ring(cams, n_test):
 
 
 def _build_cfg(size, capacity, light_res, gi_backend="pallas",
-               white_background=False):
+               white_background=False, fit_metallic=False):
     from gi_gs_tpu.config import (Config, ModelConfig, OptimizationConfig,
                                   TrainConfig)
     from gi_gs_tpu.ops.rasterize import RasterConfig
@@ -137,7 +139,8 @@ def _build_cfg(size, capacity, light_res, gi_backend="pallas",
     cfg.model = ModelConfig(capacity=capacity,
                             white_background=white_background)
     cfg.opt = OptimizationConfig()
-    cfg.train = TrainConfig(light_base_res=light_res, indirect=True)
+    cfg.train = TrainConfig(light_base_res=light_res, indirect=True,
+                            metallic=fit_metallic)
     cfg.raster = RasterConfig(tile_h=8, tile_w=32 if size <= 64 else 64,
                               cap_tile=1024, chunk=32)
     cfg.gi = GIParams(backend=gi_backend)
@@ -150,12 +153,12 @@ def _psnr(a, b):
     return float(image_utils.psnr(jnp.clip(a, 0, 1), jnp.clip(b, 0, 1)))
 
 
-def run_phase1_gate(size=128, iters=7000, n_train=128, n_test=8,
+def run_phase1_gate(size=128, iters=9000, n_train=128, n_test=8,
                     capacity=16384, max_capacity=1 << 17, n_gauss=800,
                     n_init=10_000, seed=0, densify_until=None,
                     init_at="random", eval_every=1000,
                     normal_weight=1.0, normal_tv_weight=None,
-                    lr_scale=1.0):
+                    lr_scale=1.0, refine_lr_scale=0.3):
     """Render GT from a known scene, re-fit with the full phase-1
     schedule (densification ON), report held-out PSNR.
 
@@ -191,14 +194,16 @@ def run_phase1_gate(size=128, iters=7000, n_train=128, n_test=8,
     # views as invisible fog and wreck held-out PSNR (measured 23 train /
     # 16 test dB with bg=0 at iter 5000).
     cfg = _build_cfg(size, capacity, 64, white_background=True)
-    if densify_until is not None:
-        # Protocol-shape knob: the reference trains 2x past the densify
-        # window (densify_until=15000 of 30000 iters, then refines with a
-        # frozen population; arguments/__init__.py:95 + README train
-        # lengths). densify_until=iters//2 reproduces that shape at the
-        # gate's truncated horizon.
-        cfg.opt = dataclasses.replace(cfg.opt,
-                                      densify_until_iter=densify_until)
+    # Protocol shape: the reference trains 2x past the densify window
+    # (densify_until=15000 of 30000 iters, then refines with a frozen
+    # population; arguments/__init__.py:95 + README train lengths).
+    # densify_until=iters//2 reproduces that shape at the gate's
+    # truncated horizon (r4 ran densify the whole 7000 iters — the
+    # reference protocol never does that relative to its length).
+    if densify_until is None:
+        densify_until = iters // 2
+    cfg.opt = dataclasses.replace(cfg.opt,
+                                  densify_until_iter=densify_until)
     if normal_tv_weight is not None:
         cfg.train = dataclasses.replace(cfg.train,
                                         normal_tv_weight=normal_tv_weight)
@@ -254,8 +259,23 @@ def run_phase1_gate(size=128, iters=7000, n_train=128, n_test=8,
     from gi_gs_tpu.ops.rasterize.pipeline import bucket_cap_instances
     cap_i = trainer.probe_cap_instances(cfg, gt, train_cams)
     cfg.raster = dataclasses.replace(cfg.raster, cap_instances=cap_i)
-    state = trainer.make_train_state(cfg, params, spatial_lr_scale=1.0)
-    tx = build_optimizer(cfg.opt, 1.0)
+    # Two-stage lr protocol: literal reference lrs through the densify
+    # window (the churn dynamics ARE how structure forms — rescaling them
+    # was measured worse, see NOTE above), then a global x refine_lr_scale
+    # for the frozen-population refinement half. Rationale: Adam at
+    # eps=1e-15 walks at ~lr per step once gradients hit the per-view
+    # noise floor, so the refinement equilibrium is set by lr; at 128px
+    # (~40x fewer pixels/view than the reference's calibration point) the
+    # literal lrs equilibrate at ~26 dB while x0.3 holds ~38 dB
+    # (tools/diag_decay.py measurements, diag_decay.json).
+    if refine_lr_scale != 1.0:
+        du = densify_until
+        lr_scale_fn = lambda s: jnp.where(s <= du, 1.0, refine_lr_scale)
+    else:
+        lr_scale_fn = None
+    tx = build_optimizer(cfg.opt, 1.0, lr_scale_fn=lr_scale_fn)
+    state = trainer.make_train_state(cfg, params, spatial_lr_scale=1.0,
+                                     tx=tx)
     step = trainer.make_phase1_step(cfg, cameras_extent=1.5, tx=tx,
                                     normal_weight=normal_weight)
 
@@ -344,10 +364,18 @@ def run_phase1_gate(size=128, iters=7000, n_train=128, n_test=8,
 
 def run_phase2_gate(size=128, iters=5000, n_train=32, n_test=8,
                     capacity=4096, n_gauss=800, light_res=64, seed=0,
-                    init_at="reference"):
+                    init_at="reference", scene_roughness=0.4,
+                    scene_metallic=0.02, fit_metallic=False):
     """Known geometry + known envmap + known albedo: re-fit albedo,
     roughness and the cubemap from scratch with the phase-2 step; report
-    median-ratio albedo PSNR and envmap correlation."""
+    median-ratio albedo PSNR and envmap correlation.
+
+    scene_roughness/scene_metallic select the GT material: the default is
+    the rough-diffuse decomposition scene (raw envmap unobservable above
+    the cosine band — bar the irradiance corr); the specular gate passes
+    a low-roughness, high-metallic scene where sharp GGX reflections image
+    the envmap directly and the RAW lat-long corr becomes the bar
+    (VERDICT r4 item 4; ref pbr/light.py:172-208, render.py:158-168)."""
     import dataclasses
     import jax
     import jax.numpy as jnp
@@ -357,8 +385,9 @@ def run_phase2_gate(size=128, iters=5000, n_train=32, n_test=8,
     from gi_gs_tpu.train.optim import build_light_optimizer, build_optimizer
     from gi_gs_tpu.utils.math_utils import inverse_sigmoid
 
-    cfg = _build_cfg(size, capacity, light_res)
-    gt = make_gt_scene(n=n_gauss, seed=seed, capacity=capacity)
+    cfg = _build_cfg(size, capacity, light_res, fit_metallic=fit_metallic)
+    gt = make_gt_scene(n=n_gauss, seed=seed, capacity=capacity,
+                       roughness=scene_roughness, metallic=scene_metallic)
     gt_env = make_gt_envmap(light_res, seed=3)
     train_cams, test_cams = _split_ring(ring_cameras(n_train + n_test,
                                                      size), n_test)
@@ -487,18 +516,31 @@ def run_phase2_gate(size=128, iters=5000, n_train=32, n_test=8,
     return out
 
 
+def run_phase2_specular_gate(**kw):
+    """Low-roughness, high-metallic variant: GGX lobes at roughness 0.08
+    are near-mirror, so the shaded images observe the raw envmap (not just
+    its irradiance) and the raw lat-long correlation is barred (>= 0.8)."""
+    kw.setdefault("scene_roughness", 0.08)
+    kw.setdefault("scene_metallic", 0.9)
+    kw.setdefault("fit_metallic", True)
+    return run_phase2_gate(**kw)
+
+
 def main():
     import jax
     log(f"devices: {jax.devices()}")
     p1 = run_phase1_gate()
     p2 = run_phase2_gate()
-    result = {"phase1": p1, "phase2": p2,
+    p2s = run_phase2_specular_gate()
+    result = {"phase1": p1, "phase2": p2, "phase2_specular": p2s,
               "bars": {"phase1_test_psnr": 30.0, "phase2_albedo_psnr": 22.0,
-                       "phase2_env_irradiance_corr": 0.9},
+                       "phase2_env_irradiance_corr": 0.9,
+                       "phase2_specular_env_corr": 0.8},
               "pass": bool(p1["test_psnr"] >= 30.0 and
                            p2["albedo_psnr"] >= 22.0 and
-                           p2["env_irradiance_corr"] >= 0.9)}
-    with open("QUALITY_r04.json", "w") as f:
+                           p2["env_irradiance_corr"] >= 0.9 and
+                           p2s["env_corr"] >= 0.8)}
+    with open("QUALITY_r05.json", "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 
