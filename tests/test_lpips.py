@@ -128,3 +128,29 @@ def test_lpips_torch_loader(tmp_path, weights):
     loaded = lpips_mod.load_lpips_weights(path)
     for k in weights:
         np.testing.assert_allclose(loaded[k], weights[k], rtol=1e-6)
+
+
+def test_lpips_torchvision_format_loader(tmp_path, weights):
+    """Second supported .pth layout: {"vgg": torchvision vgg16 state_dict,
+    "lin": lpips linear-head state_dict} — the path a user takes when they
+    have torchvision weights but not the lpips package's bundled file."""
+    torch = pytest.importorskip("torch")
+    feat_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    vgg = {}
+    for i, f in enumerate(feat_idx):
+        vgg[f"features.{f}.weight"] = torch.from_numpy(weights[f"conv{i}_w"])
+        vgg[f"features.{f}.bias"] = torch.from_numpy(weights[f"conv{i}_b"])
+    # classifier keys present in a real torchvision state dict are ignored
+    vgg["classifier.0.weight"] = torch.zeros(2, 2)
+    lin = {f"lins.{j}.model.1.weight": torch.from_numpy(
+        weights[f"lin{j}_w"].reshape(1, -1, 1, 1)) for j in range(5)}
+    path = str(tmp_path / "w_tv.pth")
+    torch.save({"vgg": vgg, "lin": lin}, path)
+    loaded = lpips_mod.load_lpips_weights(path)
+    for k in weights:
+        np.testing.assert_allclose(loaded[k], weights[k], rtol=1e-6)
+    rng = np.random.RandomState(2)
+    a = rng.rand(3, 32, 32).astype(np.float32)
+    b = rng.rand(3, 32, 32).astype(np.float32)
+    assert lpips_mod.lpips(a, b, loaded) == pytest.approx(
+        lpips_mod.lpips(a, b, weights), rel=1e-5)

@@ -40,6 +40,30 @@ CFGS = {
     # needs resolution-aware LRs (the reference calibrated at 800px).
     "small_lr25": dict(_SMALL, lr_scale=0.25),
     "small_lr10": dict(_SMALL, lr_scale=0.10),
+    # r5 two-stage follow-ups: the 131k-saturated 128px run equilibrates
+    # at 26.4 under refine x0.3 while the GT-init diag (800 gaussians)
+    # holds ~38 — population size drives the refinement noise floor.
+    # cap15 bounds the population at 32768 (the level that hit 31.35 dB
+    # from scratch at 64px) while keeping the literal densify constants.
+    "cap15": dict(iters=6000, densify_until=3000, max_capacity=1 << 15,
+                  eval_every=500),
+    "cap16": dict(iters=6000, densify_until=3000, max_capacity=1 << 16,
+                  eval_every=500),
+    # refine_lr sweep on the bounded population
+    "cap15_lr10": dict(iters=6000, densify_until=3000,
+                       max_capacity=1 << 15, eval_every=500,
+                       refine_lr_scale=0.1),
+    # two-stage on the small 64px repro (expect it to HOLD ~31 where
+    # lr-1.0 refinement decayed to 27.5)
+    "small_twostage": dict(_SMALL),
+    # Annealed refinement: geometric 0.3 -> 0.03 global lr over the
+    # refine half + position schedule compressed to the gate horizon.
+    "cap15_anneal": dict(iters=6000, densify_until=3000,
+                         max_capacity=1 << 15, eval_every=500,
+                         refine_lr_scale=0.3, refine_final=0.03),
+    "cap15_anneal_long": dict(iters=10000, densify_until=4000,
+                              max_capacity=1 << 15, eval_every=1000,
+                              refine_lr_scale=0.5, refine_final=0.02),
 }
 
 if __name__ == "__main__":

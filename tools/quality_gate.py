@@ -158,7 +158,8 @@ def run_phase1_gate(size=128, iters=9000, n_train=128, n_test=8,
                     n_init=10_000, seed=0, densify_until=None,
                     init_at="random", eval_every=1000,
                     normal_weight=1.0, normal_tv_weight=None,
-                    lr_scale=1.0, refine_lr_scale=0.3):
+                    lr_scale=1.0, refine_lr_scale=0.3, refine_final=None,
+                    compress_pos_schedule=True):
     """Render GT from a known scene, re-fit with the full phase-1
     schedule (densification ON), report held-out PSNR.
 
@@ -204,6 +205,13 @@ def run_phase1_gate(size=128, iters=9000, n_train=128, n_test=8,
         densify_until = iters // 2
     cfg.opt = dataclasses.replace(cfg.opt,
                                   densify_until_iter=densify_until)
+    if compress_pos_schedule:
+        # The reference's only per-group schedule (position, 100x expon
+        # decay) runs over ITS full horizon (position_lr_max_steps=30000
+        # over 30000 iters). A gate at a shorter horizon must compress the
+        # schedule with it, or it trains entirely inside the schedule's
+        # first sixth (2.5x decay instead of 100x by the end).
+        cfg.opt = dataclasses.replace(cfg.opt, position_lr_max_steps=iters)
     if normal_tv_weight is not None:
         cfg.train = dataclasses.replace(cfg.train,
                                         normal_tv_weight=normal_tv_weight)
@@ -268,9 +276,21 @@ def run_phase1_gate(size=128, iters=9000, n_train=128, n_test=8,
     # (~40x fewer pixels/view than the reference's calibration point) the
     # literal lrs equilibrate at ~26 dB while x0.3 holds ~38 dB
     # (tools/diag_decay.py measurements, diag_decay.json).
-    if refine_lr_scale != 1.0:
+    if refine_lr_scale != 1.0 or refine_final is not None:
         du = densify_until
-        lr_scale_fn = lambda s: jnp.where(s <= du, 1.0, refine_lr_scale)
+        rf0 = refine_lr_scale
+        rf1 = refine_final if refine_final is not None else refine_lr_scale
+        span = max(iters - du, 1)
+
+        def lr_scale_fn(s):
+            # 1.0 through the densify window; geometric anneal
+            # rf0 -> rf1 across the refinement half (simulated-annealing
+            # shape — the global analog of the reference's 100x position
+            # decay, compressed to the gate horizon).
+            frac = jnp.clip((s - du) / span, 0.0, 1.0)
+            return jnp.where(
+                s <= du, 1.0,
+                rf0 * jnp.exp(frac * jnp.log(rf1 / rf0)))
     else:
         lr_scale_fn = None
     tx = build_optimizer(cfg.opt, 1.0, lr_scale_fn=lr_scale_fn)
