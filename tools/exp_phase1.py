@@ -21,7 +21,8 @@ from tools.quality_gate import run_phase1_gate
 
 _SMALL = dict(size=64, iters=7000, n_train=64, n_test=8, capacity=8192,
               max_capacity=1 << 15, n_init=4000, densify_until=3000,
-              eval_every=500)
+              eval_every=500, cameras_extent=1.5,
+              compress_pos_schedule=False)
 
 CFGS = {
     "ceiling": dict(iters=4000, init_at="gt", eval_every=500),
@@ -64,6 +65,24 @@ CFGS = {
     "cap15_anneal_long": dict(iters=10000, densify_until=4000,
                               max_capacity=1 << 15, eval_every=1000,
                               refine_lr_scale=0.5, refine_final=0.02),
+    # Clone/split regime: percent_dense scaled by 800/size restores the
+    # reference's clone-dominated growth (its 0.01*extent boundary is
+    # ~11 px on lego@800px; literal at 128px it is sub-pixel, so every
+    # visible splat splits, shredding the scene). cameras_extent also
+    # fixed to the NeRF++-faithful ring radius (3.3, not 1.5).
+    "cap15_pd": dict(iters=6000, densify_until=3000,
+                     max_capacity=1 << 15, eval_every=500,
+                     percent_dense=0.0625),
+    "cap17_pd": dict(iters=6000, densify_until=3000,
+                     max_capacity=1 << 17, eval_every=500,
+                     percent_dense=0.0625),
+    # Solid-surface GT: the 0.9-opacity fat-splat GT is a deep
+    # translucent-stack inversion at 128px (the reference's synthetic
+    # scenes are solid objects); opacity 0.99 makes the gate scene
+    # reference-like.
+    "cap15_opaque": dict(iters=6000, densify_until=3000,
+                         max_capacity=1 << 15, eval_every=500,
+                         gt_opacity=0.99),
 }
 
 if __name__ == "__main__":
